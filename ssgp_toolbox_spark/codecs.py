@@ -1,0 +1,201 @@
+"""Pixel payload codecs for the image+caption table.
+
+``BASELINE.json.input_hint`` fixes the table shape
+``(image_id, bytes, w, h, fmt, caption, phash)``; rasters live as one
+``binary`` cell per image (never one row per pixel at rest). Two
+formats:
+
+- ``npy-f64``: raw little-endian float64, row-major — lossless;
+  correctness checks use exact ``allclose``.
+- ``png16``: real 16-bit grayscale PNG (zlib, filter 0). Valid values
+  are affinely quantized onto a fixed physical range, sentinels map to
+  reserved codes so they survive the round trip bit-exactly. Lossy →
+  the PSNR ≥ 40 dB invariant applies (quantization step ≈ 0.0023 K,
+  PSNR ≈ 96 dB, far above the gate).
+
+No image library is present in this environment, so the PNG path is
+a minimal self-contained encoder/decoder (grayscale, bit depth 16,
+color type 0) — deterministic and pure numpy + stdlib zlib.
+
+The perceptual hash is a classic 64-bit DCT hash (32×32 block-mean
+resize → DCT-II → top-left 8×8 vs median), replacing the reference's
+absent phash (the input_hint adds it for dedup at 10^12 scale).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ssgp_toolbox_spark.sentinels import GAP, NODATA, SKIP, is_invalid
+
+FMT_F64 = "npy-f64"
+FMT_PNG16 = "png16"
+
+# Fixed affine quantization range for png16 (covers LST Kelvin and
+# NDVI/albedo unit ranges used by the reference sources).
+PNG16_LO = -10.0
+PNG16_HI = 350.0
+# Reserved 16-bit codes for sentinels (survive lossy round trip exactly).
+_CODE_GAP = 65533
+_CODE_SKIP = 65534
+_CODE_NODATA = 65535
+_CODE_MAX = 65532  # top of the valid-value quantization range
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------- raw f64
+
+
+def encode_f64(matrix: np.ndarray) -> bytes:
+    return np.ascontiguousarray(matrix, dtype="<f8").tobytes()
+
+
+def decode_f64(payload: bytes, h: int, w: int) -> np.ndarray:
+    return np.frombuffer(payload, dtype="<f8").reshape(h, w).copy()
+
+
+# ---------------------------------------------------------------- png16
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _quantize(matrix: np.ndarray) -> np.ndarray:
+    m = np.asarray(matrix, dtype=np.float64)
+    scaled = np.clip((m - PNG16_LO) / (PNG16_HI - PNG16_LO), 0.0, 1.0)
+    codes = np.rint(scaled * _CODE_MAX).astype(np.uint16)
+    codes[m == GAP] = _CODE_GAP
+    codes[m == SKIP] = _CODE_SKIP
+    codes[m == NODATA] = _CODE_NODATA
+    return codes
+
+
+def _dequantize(codes: np.ndarray) -> np.ndarray:
+    out = codes.astype(np.float64) / _CODE_MAX * (PNG16_HI - PNG16_LO) + PNG16_LO
+    out[codes == _CODE_GAP] = GAP
+    out[codes == _CODE_SKIP] = SKIP
+    out[codes == _CODE_NODATA] = NODATA
+    return out
+
+
+def encode_png16(matrix: np.ndarray) -> bytes:
+    codes = _quantize(matrix)
+    h, w = codes.shape
+    # filter byte 0 per scanline, big-endian 16-bit samples
+    raw = np.empty((h, 1 + 2 * w), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = codes.astype(">u2").view(np.uint8).reshape(h, 2 * w)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png16(payload: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    width = height = None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if depth != 16 or ctype != 0:
+                raise ValueError("only 16-bit grayscale PNG supported")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(height, 1 + 2 * width)
+    if not (raw[:, 0] == 0).all():
+        raise ValueError("only filter type 0 supported")
+    codes = raw[:, 1:].reshape(height, width, 2).copy().view(">u2")[:, :, 0]
+    return _dequantize(codes.astype(np.uint16))
+
+
+# ---------------------------------------------------------------- dispatch
+
+
+def encode(matrix: np.ndarray, fmt: str) -> bytes:
+    if fmt == FMT_F64:
+        return encode_f64(matrix)
+    if fmt == FMT_PNG16:
+        return encode_png16(matrix)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(payload: bytes, h: int, w: int, fmt: str) -> np.ndarray:
+    if fmt == FMT_F64:
+        return decode_f64(payload, h, w)
+    if fmt == FMT_PNG16:
+        return decode_png16(payload, h, w)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+# ---------------------------------------------------------------- phash
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi / n * (i + 0.5) * k) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        _DCT32 = m
+    return _DCT32
+
+
+def _block_mean_resize(a: np.ndarray, n: int = 32) -> np.ndarray:
+    """Deterministic area-ish resample to n×n via index binning."""
+    h, w = a.shape
+    ri = np.minimum((np.arange(h) * n) // max(h, 1), n - 1)
+    ci = np.minimum((np.arange(w) * n) // max(w, 1), n - 1)
+    out = np.zeros((n, n))
+    cnt = np.zeros((n, n))
+    np.add.at(out, (ri[:, None].repeat(w, 1), ci[None, :].repeat(h, 0)), a)
+    np.add.at(cnt, (ri[:, None].repeat(w, 1), ci[None, :].repeat(h, 0)), 1.0)
+    cnt[cnt == 0] = 1.0
+    return out / cnt
+
+
+def phash64(matrix: np.ndarray) -> int:
+    """64-bit DCT perceptual hash; sentinel pixels replaced by the
+    valid median so clouds don't dominate the hash. Returns a *signed*
+    int64 (Spark/parquet LongType has no unsigned)."""
+    m = np.asarray(matrix, dtype=np.float64)
+    inv = is_invalid(m)
+    if inv.all():
+        fill = 0.0
+    else:
+        fill = float(np.median(m[~inv]))
+    m = np.where(inv, fill, m)
+    small = _block_mean_resize(m, 32)
+    d = _dct_matrix(32)
+    coef = d @ small @ d.T
+    block = coef[:8, :8].ravel()
+    med = np.median(block[1:])  # skip DC term for the median, classic pHash
+    bits = (block > med).astype(np.uint64)
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64))

@@ -1,0 +1,259 @@
+"""Deterministic synthetic image+caption table generator (FIXTURES.md).
+
+Produces the engine's primary correctness corpus: an images table with
+the exact ``BASELINE.json.input_hint`` schema
+``(image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash bigint)`` plus zone tables (raster Extra layer
+and a WKB multipolygon vector table whose rasterization reproduces the
+raster exactly — the PIP-parity invariant of FIXTURES.md §2b).
+
+Everything is seeded (numpy default_rng on stable integer seeds
+derived from (site, role, index)); no wall clock, no external data.
+Pixel semantics mirror the reference (SURVEY.md §1.1): smooth
+"temperature" field ≈ N(290, 5) K with spatial+temporal
+autocorrelation, in-band sentinels gap/skip/NoData, contiguous seeded
+gap blobs at the Comparison gap-size ladder, a fixed "sea" skip
+region, NoData border columns.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime, timedelta
+
+import numpy as np
+
+from ssgp_toolbox_spark import codecs
+from ssgp_toolbox_spark.sentinels import GAP, NODATA, SKIP
+
+TS_FMT = "%Y%m%dT%H%M%S"
+EPOCH = datetime(2019, 9, 1, 0, 0, 0)
+
+DEFAULT_SITES = {
+    # name -> (h, w)  (shapes from reference Comparison/*/actual_matrix)
+    "stp": (109, 62),
+    "madrid": (110, 88),
+    "vlad": (109, 83),
+}
+
+
+def _rng(*keys) -> np.random.Generator:
+    seed = zlib_seed = 0
+    for k in keys:
+        for ch in str(k).encode():
+            zlib_seed = (zlib_seed * 131 + ch) % (2**31 - 1)
+    seed = zlib_seed
+    return np.random.default_rng(seed)
+
+
+# ------------------------------------------------------------ fields
+
+
+def temperature_field(site: str, h: int, w: int, t: float) -> np.ndarray:
+    """Smooth valid-value field: sin/cos basis over (i, j, t) + seeded
+    per-site stationary noise. ~N(290, 5) K, matching the reference's
+    observed LST range 280-306 K."""
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    base = (
+        290.0
+        + 5.0 * np.sin(2 * np.pi * i / h + 0.31 * t)
+        + 4.0 * np.cos(2 * np.pi * j / w - 0.17 * t)
+        + 2.0 * np.sin(0.5 * t + i * j / (h * w))
+    )
+    noise = _rng(site, "terrain").normal(0.0, 1.5, size=(h, w))
+    return base + noise
+
+
+def sea_mask(site: str, h: int, w: int) -> np.ndarray:
+    """Fixed per-site 'sea' region (~10% of pixels) → SKIP sentinel."""
+    rng = _rng(site, "sea")
+    ci, cj = rng.uniform(0.1, 0.9) * h, rng.uniform(0.1, 0.9) * w
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    r2 = ((i - ci) / h) ** 2 + ((j - cj) / w) ** 2
+    # radius tuned so the disc covers ≈10% of the frame
+    return r2 < (0.1 / np.pi)
+
+
+def nodata_mask(h: int, w: int, border: int = 2) -> np.ndarray:
+    m = np.zeros((h, w), dtype=bool)
+    m[:, :border] = True
+    return m
+
+
+def gap_blobs(site: str, layer_key: str, h: int, w: int, frac: float,
+              eligible: np.ndarray) -> np.ndarray:
+    """Contiguous seeded blobs covering ≈``frac`` of the eligible area."""
+    rng = _rng(site, layer_key, "gaps")
+    target = int(frac * eligible.sum())
+    mask = np.zeros((h, w), dtype=bool)
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    guard = 0
+    while (mask & eligible).sum() < target and guard < 200:
+        guard += 1
+        ci, cj = rng.uniform(0, h), rng.uniform(0, w)
+        r = rng.uniform(0.05, 0.35) * min(h, w)
+        mask |= ((i - ci) ** 2 + (j - cj) ** 2) < r**2
+    return mask & eligible
+
+
+def make_layer(site: str, h: int, w: int, t_index: int, role: str,
+               gap_frac: float) -> np.ndarray:
+    m = temperature_field(site, h, w, float(t_index))
+    sea = sea_mask(site, h, w)
+    nod = nodata_mask(h, w)
+    eligible = ~(sea | nod)
+    key = f"{role}{t_index}"
+    if gap_frac > 0:
+        m[gap_blobs(site, key, h, w, gap_frac, eligible)] = GAP
+    m[sea] = SKIP
+    m[nod] = NODATA
+    return m
+
+
+# ------------------------------------------------------------ zones
+
+
+def zone_raster(site: str, h: int, w: int, n_zones: int = 12) -> np.ndarray:
+    """Seeded Voronoi biome raster: codes 1..n_zones, nearest-seed with
+    first-index (lowest zone id) tie-break — contiguous regions. One
+    zone is forced tiny (≤41 px) to exercise the reference's random
+    fallback branch (gapfiller.py:536-586)."""
+    rng = _rng(site, "zones")
+    seeds = np.stack(
+        [rng.uniform(0, h, n_zones), rng.uniform(0, w, n_zones)], axis=1
+    )
+    i = np.arange(h)[:, None, None]
+    j = np.arange(w)[None, :, None]
+    d2 = (i - seeds[:, 0]) ** 2 + (j - seeds[:, 1]) ** 2  # (h, w, n)
+    codes = np.argmin(d2, axis=2).astype(np.int32) + 1
+    # carve a guaranteed-tiny zone: a 5×5 patch with its own code
+    pi, pj = int(rng.uniform(0, h - 5)), int(rng.uniform(0, w - 5))
+    codes[pi : pi + 5, pj : pj + 5] = n_zones + 1
+    return codes
+
+
+def zone_runs_wkb(codes: np.ndarray) -> list[tuple[int, bytes]]:
+    """Vector polygon table: each zone as a WKB MultiPolygon that is
+    the exact union of its per-row horizontal-run rectangles in pixel
+    coordinates (pixel (r, c) covered by [c, c+1]×[r, r+1]). Pixel
+    centers (c+0.5, r+0.5) tested against this geometry reproduce the
+    raster bit-exactly — the FIXTURES.md §2b invariant."""
+    h, w = codes.shape
+    out = []
+    for zone in np.unique(codes):
+        rects = []
+        for r in range(h):
+            row = codes[r]
+            c = 0
+            while c < w:
+                if row[c] == zone:
+                    c0 = c
+                    while c < w and row[c] == zone:
+                        c += 1
+                    rects.append((float(c0), float(r), float(c), float(r + 1)))
+                else:
+                    c += 1
+        out.append((int(zone), _wkb_multipolygon(rects)))
+    return out
+
+
+def _wkb_multipolygon(rects: list[tuple[float, float, float, float]]) -> bytes:
+    # little-endian WKB: MultiPolygon(6) of Polygon(3) with one ring each
+    buf = [struct.pack("<BII", 1, 6, len(rects))]
+    for x0, y0, x1, y1 in rects:
+        ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+        buf.append(struct.pack("<BIII", 1, 3, 1, len(ring)))
+        for x, y in ring:
+            buf.append(struct.pack("<dd", x, y))
+    return b"".join(buf)
+
+
+# ------------------------------------------------------------ rows
+
+IMAGE_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+GAP_LADDER = [0.04, 0.15, 0.40, 0.96]
+
+
+def layer_ts(t_index: int, jitter_minutes: int = 0) -> str:
+    return (EPOCH + timedelta(hours=12 * t_index, minutes=jitter_minutes)).strftime(TS_FMT)
+
+
+def image_row(site: str, role: str, ts: str, matrix: np.ndarray, fmt: str,
+              gap_pct: int) -> tuple:
+    payload = codecs.encode(matrix, fmt)
+    h, w = matrix.shape
+    caption = f"LST {site} {ts} gap={gap_pct}%"
+    # phash computed on the decoded payload so lossless fmt is stable
+    ph = codecs.phash64(codecs.decode(payload, h, w, fmt))
+    return (f"{site}/{role}/{ts}", payload, int(w), int(h), fmt, caption, ph)
+
+
+def site_rows(site: str, n_history: int = 24, n_inputs: int = 3,
+              fmt: str = codecs.FMT_F64, shape: tuple[int, int] | None = None,
+              jitter: bool = False) -> list[tuple]:
+    """All image rows for one site: history layers on a 12H grid
+    (small seeded jitter when ``jitter`` for Discretizator tests),
+    then input layers carrying the gap ladder, then the Extra zone
+    raster as ``role='extra'``."""
+    h, w = shape or DEFAULT_SITES.get(site, (109, 62))
+    rows = []
+    for t in range(n_history):
+        jm = int(_rng(site, "jit", t).integers(-90, 90)) if jitter else 0
+        m = make_layer(site, h, w, t, "history", gap_frac=0.02)
+        rows.append(image_row(site, "history", layer_ts(t, jm), m, fmt, 2))
+    for k in range(n_inputs):
+        t = n_history + k
+        frac = GAP_LADDER[k % len(GAP_LADDER)]
+        m = make_layer(site, h, w, t, "input", gap_frac=frac)
+        rows.append(image_row(site, "input", layer_ts(t), m, fmt, int(frac * 100)))
+    codes = zone_raster(site, h, w).astype(np.float64)
+    rows.append(image_row(site, "extra", layer_ts(0), codes, codecs.FMT_F64, 0))
+    return rows
+
+
+def zones_vector_rows(site: str, shape: tuple[int, int] | None = None) -> list[tuple]:
+    h, w = shape or DEFAULT_SITES.get(site, (109, 62))
+    codes = zone_raster(site, h, w)
+    return [(site, zone, wkb) for zone, wkb in zone_runs_wkb(codes)]
+
+
+# ------------------------------------------------------------ Spark DFs
+
+
+def images_df(spark, sites=("stp",), n_history: int = 24, n_inputs: int = 3,
+              fmt: str = codecs.FMT_F64, jitter: bool = False,
+              num_partitions: int | None = None):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ])
+    rows = []
+    for s in sites:
+        rows.extend(site_rows(s, n_history, n_inputs, fmt, jitter=jitter))
+    df = spark.createDataFrame(rows, schema)
+    return df.repartition(num_partitions) if num_partitions else df
+
+
+def zones_df(spark, sites=("stp",)):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("site", T.StringType(), False),
+        T.StructField("zone_id", T.IntegerType(), False),
+        T.StructField("wkb", T.BinaryType(), False),
+    ])
+    rows = []
+    for s in sites:
+        rows.extend(zones_vector_rows(s))
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,38 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Settings chosen for the 100 TB target (SURVEY.md §4): AQE on (runtime
+skew-join + partition coalescing), Arrow transfer on for the pandas
+UDF kernels with a batch size bounded so one batch of decoded rasters
+fits executor memory, shuffle partitions sized for the local[32]
+sandbox (override on a real cluster via spark-submit --conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # one 109×62 f64 raster ≈ 54 KB; 256 rows/batch ≈ 14 MB Arrow batches
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "ssgp-toolbox-spark", master: str | None = None,
+              extra_confs: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
