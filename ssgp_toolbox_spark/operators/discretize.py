@@ -1,0 +1,187 @@
+"""Discretizator operator (reference EP3): regular time grid +
+collision resolution + per-pixel temporal gap fill.
+
+Plan shape (SURVEY.md J5/W1-W4/A6-A10):
+
+1. ``groupBy(site)`` bounds: min/max ts → grid [start, end) with the
+   reference's midnight-anchored construction (timeseries.py:73-82).
+2. Bucket assignment as a pure column expression
+   ``floor((ts − start) / step)`` — no UDF, stays in codegen.
+3. Collision resolution per (site, bucket): one aggregation packs the
+   bucket's layers chronologically; a mapInPandas kernel applies the
+   reference rule ('None' → nearest-to-centroid *without decoding
+   pixels*, 'simple'/'weighted' → decode + average
+   (timeseries.py:107-182)).
+4. Empty buckets: the grid is generated declaratively
+   (``sequence`` + ``explode``) and left-joined; missing buckets
+   materialize as all-gap blanks (timeseries.py:100-101); the
+   *trailing* empty bucket is dropped (timeseries.py:96-98).
+5. Temporal fill: ``groupBy(site)`` stacks the gridded layers and
+   runs the pattern-class-vectorized sequential fill
+   (kernels/timeseries.fill_stack) — skip propagation + median/poly.
+
+Shuffles: (a) bucket packing, (b) site stacking for the fill. Both
+key on (site[, bucket]) — at 100 TB the site key is replaced by
+(site, tile) from tiling.py to bound group size; semantics unchanged
+because the fill is per-pixel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssgp_toolbox_spark import codecs
+from ssgp_toolbox_spark.kernels import timeseries as ts_kernel
+from ssgp_toolbox_spark.sentinels import GAP
+
+STEP_SECONDS = {"12H": 43200, "6H": 21600, "24H": 86400, "1D": 86400}
+
+GRID_SCHEMA = T.StructType([
+    T.StructField("site", T.StringType()),
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("centroid", T.TimestampType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("n_layers", T.IntegerType()),
+])
+
+
+def parse_step(timestep: str) -> int:
+    if timestep in STEP_SECONDS:
+        return STEP_SECONDS[timestep]
+    # generic '<n>H' / '<n>D'
+    unit = timestep[-1].upper()
+    n = int(timestep[:-1])
+    if unit == "H":
+        return n * 3600
+    if unit == "D":
+        return n * 86400
+    raise ValueError(f"unsupported timestep {timestep!r}")
+
+
+def site_grid(layers: DataFrame, step_s: int) -> DataFrame:
+    """(site, start, n_buckets, h, w, fmt) per site + the exploded
+    (site, bucket) grid — all declarative."""
+    bounds = layers.groupBy("site").agg(
+        F.date_trunc("day", F.min("ts")).alias("start"),
+        (F.date_trunc("day", F.max("ts")) + F.expr("interval 1 day")).alias("end"),
+        F.first("h").alias("h"), F.first("w").alias("w"),
+        F.first("fmt").alias("fmt"),
+    ).withColumn(
+        "n_buckets",
+        ((F.unix_timestamp("end") - F.unix_timestamp("start")) / step_s).cast("int"),
+    )
+    grid = bounds.select(
+        "site", "start", "n_buckets", "h", "w", "fmt",
+        F.explode(F.sequence(F.lit(0), F.col("n_buckets") - 1)).alias("bucket"),
+    )
+    return bounds, grid
+
+
+def _resolve_batches(averaging: str, step_s: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in GRID_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                layers = row.layers  # chronologically sorted structs
+                start_ns = pd.Timestamp(row.start).value
+                centroid_ns = start_ns + int((row.bucket + 0.5) * step_s * 1e9)
+                h, w, fmt = int(row.h), int(row.w), row.fmt
+                if layers is None or len(layers) == 0:
+                    payload = codecs.encode(np.full((h, w), GAP), fmt)
+                    n = 0
+                elif len(layers) == 1:
+                    payload, n = layers[0]["bytes"], 1
+                else:
+                    dist = np.array([
+                        abs(pd.Timestamp(l["ts"]).value - centroid_ns) for l in layers
+                    ])
+                    if averaging in (None, "None"):
+                        payload = layers[int(np.argmin(dist))]["bytes"]
+                    else:
+                        mats = np.stack([
+                            codecs.decode(l["bytes"], h, w, l["fmt"]) for l in layers
+                        ])
+                        resolved = ts_kernel.resolve_collision(mats, dist, averaging)
+                        payload = codecs.encode(resolved, fmt)
+                    n = len(layers)
+                out["site"].append(row.site)
+                out["bucket"].append(int(row.bucket))
+                out["centroid"].append(
+                    datetime.fromtimestamp(centroid_ns / 1e9, tz=timezone.utc).replace(tzinfo=None)
+                )
+                out["bytes"].append(payload)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append(fmt)
+                out["n_layers"].append(n)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _fill_group(filling_method, n_neighbors, poly_degree):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
+        stack = np.stack([
+            codecs.decode(b, h, w, f) for b, f in zip(pdf["bytes"], pdf["fmt"])
+        ])
+        filled = ts_kernel.fill_stack(stack, filling_method, n_neighbors, poly_degree)
+        pdf["bytes"] = [codecs.encode(filled[i], pdf["fmt"].iloc[i]) for i in range(len(pdf))]
+        return pdf
+
+    return fn
+
+
+def discretize(layers: DataFrame, timestep: str = "12H",
+               averaging: str = "None", filling_method: str | None = "None",
+               n_neighbors: int = 5, poly_degree: int = 2) -> DataFrame:
+    """``layers`` must carry (site, ts, bytes, h, w, fmt). Returns the
+    gridded + temporally filled stack, one row per (site, bucket)."""
+    step_s = parse_step(timestep)
+    bounds, grid = site_grid(layers, step_s)
+
+    with_bucket = layers.join(bounds.select("site", "start", "n_buckets"), "site").withColumn(
+        "bucket",
+        F.floor((F.unix_timestamp("ts") - F.unix_timestamp("start")) / step_s).cast("int"),
+    )
+    packed = with_bucket.groupBy("site", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "bytes", "fmt"))).alias("layers"),
+    )
+    slots = grid.join(packed, ["site", "bucket"], "left")
+    # trailing empty bucket dropped (timeseries.py:96-98) — only the last
+    slots = slots.filter(
+        ~((F.col("bucket") == F.col("n_buckets") - 1) & F.col("layers").isNull())
+    )
+    resolved = slots.select(
+        "site", "bucket", "start", "h", "w", "fmt", "layers"
+    ).mapInPandas(_resolve_batches(averaging, step_s), GRID_SCHEMA)
+
+    return resolved.groupBy("site").applyInPandas(
+        _fill_group(filling_method, n_neighbors, poly_degree), GRID_SCHEMA
+    )
+
+
+def grid_image_ids(gridded: DataFrame) -> DataFrame:
+    """Rows in the images-table shape (S11 npy sink analog: one layer
+    per grid step named by its centroid timestamp, timeseries.py:330)."""
+    return gridded.select(
+        F.concat_ws(
+            "/", "site", F.lit("grid"),
+            F.date_format("centroid", "yyyyMMdd'T'HHmmss"),
+        ).alias("image_id"),
+        "bytes", "w", "h", "fmt",
+        F.concat_ws(" ", F.lit("grid"), "site",
+                    F.date_format("centroid", "yyyyMMdd'T'HHmmss")).alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+    )

@@ -95,3 +95,77 @@ def k_nearest_coords_oracle(coords, target, k):
         picked.append(coords[i])
         d[i] = np.inf
     return np.array(picked)
+
+
+def discretize_oracle(matrices_dict, timestep_hours=12, averaging="None",
+                      filling_method="None", n_neighbors=5, poly_degree=2):
+    """Naive transcription of Discretizator (timeseries.py:60-310):
+    dict{datetime: matrix} -> (tensor, centroids)."""
+    import datetime as dt
+
+    keys = sorted(matrices_dict)
+    example = matrices_dict[keys[0]]
+    rows, cols = example.shape
+    start = dt.datetime(keys[0].year, keys[0].month, keys[0].day)
+    last = keys[-1] + dt.timedelta(days=1)
+    end = dt.datetime(last.year, last.month, last.day)
+    step = dt.timedelta(hours=timestep_hours)
+    times = []
+    t = start
+    while t <= end:
+        times.append(t)
+        t += step
+    tensor, centroids = [], []
+    for i in range(len(times) - 1):
+        centroid = times[i] + (times[i + 1] - times[i]) / 2
+        suitable = [k for k in keys if times[i] <= k < times[i + 1]]
+        if len(suitable) == 0:
+            if i == len(times) - 2:
+                break
+            matrix = np.full((rows, cols), GAP)
+        elif len(suitable) == 1:
+            matrix = matrices_dict[suitable[0]].astype(float)
+        else:
+            dists = np.array([abs((k - centroid).total_seconds()) for k in suitable])
+            batch = np.array([matrices_dict[k] for k in suitable], dtype=float)
+            if averaging == "None":
+                matrix = matrices_dict[suitable[int(np.argmin(dists))]].astype(float)
+            elif averaging == "simple":
+                matrix = batch.mean(axis=0)
+            elif averaging == "weighted":
+                order = np.argsort(dists)
+                weights = np.empty(len(dists))
+                wgt = len(dists)
+                for idx in order:
+                    weights[idx] = wgt
+                    wgt -= 1
+                matrix = np.average(batch, axis=0, weights=weights)
+        tensor.append(matrix)
+        centroids.append(centroid)
+    tensor = np.array(tensor)
+
+    def gap_process(series):
+        i_gaps = np.ravel(np.argwhere(series == GAP))
+        if filling_method in (None, "None"):
+            return series
+        for g in i_gaps:
+            i_known = np.ravel(np.argwhere(series != GAP))
+            d = np.abs(i_known - g)
+            idx = np.argsort(d)[:n_neighbors]
+            vals = np.array([series[i_known[i]] for i in idx])
+            if filling_method == "median":
+                series[g] = np.nanmedian(vals)
+            elif filling_method == "poly":
+                coefs = np.polyfit(i_known[idx], vals, poly_degree)
+                series[g] = np.polyval(coefs, g)
+        return series
+
+    for r in range(tensor[0].shape[0]):
+        for c in range(tensor[0].shape[1]):
+            s = tensor[:, r, c]
+            if any(v == SKIP for v in s):
+                s = np.full(len(s), SKIP)
+            elif any(v == GAP for v in s):
+                s = gap_process(s)
+            tensor[:, r, c] = s
+    return tensor, centroids
