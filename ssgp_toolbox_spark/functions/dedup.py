@@ -1,0 +1,124 @@
+"""Deduplication operators over the documents table.
+
+Four families, each staying JVM-side (md5 + higher-order array
+functions; no Python UDFs):
+
+- exact: hash-groupBy on content (keeper = min doc_id);
+- n-gram Jaccard: word-shingle explode → equi-join on shingle →
+  |A∩B| / |A∪B| — the classic near-dup pair join;
+- MinHash + LSH: per-doc signature = min over shingles of
+  md5(seed ∥ shingle); signatures banded; candidate pairs share a
+  band bucket (the scale path: the shuffle key is (band, bucket), so
+  work is linear in corpus size, not quadratic);
+- SimHash: 60-bit signature from per-token hash bits weighted ±1;
+  near-dups = pairs within Hamming distance k (compared via a
+  band-join on bit chunks, same LSH trick).
+
+At 10^12 rows the pairwise joins are only ever evaluated inside LSH
+buckets; the plain Jaccard join exists as the exact-verification
+stage applied to LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# md5-based 60-bit hash (parity with DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT)
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact content dedup: one keeper per distinct text."""
+    return (
+        docs.groupBy(_h60(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """doc_id → distinct word k-shingles (exploded)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    return docs.select("doc_id", F.explode(grams).alias("shingle"))
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.4) -> DataFrame:
+    """Near-dup pairs by k-shingle Jaccard ≥ threshold (a < b)."""
+    sh = shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 16) -> DataFrame:
+    """doc_id → array of n_hashes minhash values (seeded md5 family)."""
+    sh = shingles(docs, k)
+    mins = [
+        F.min(_h60(F.concat(F.lit(f"seed{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_candidates(docs: DataFrame, k: int = 3, n_hashes: int = 16,
+                           bands: int = 4) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of their minhash
+    signature. Shuffle key = (band, bucket) — linear, not quadratic."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, k, n_hashes)
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  _h60(F.concat_ws(",", *members)).alias("bucket")))
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
+                 .select("doc_id", "bb.band", "bb.bucket")
+    return (
+        buckets.alias("x").join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit SimHash over distinct word tokens: bit b set iff the
+    ±1-weighted sum of token-hash bits at position b is positive.
+    One explode + one groupBy pass (codegen-friendly conditional
+    sums), not 60 array traversals."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
+    ).withColumn("th", _h60(F.col("t")))
+    sums = [
+        F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    sig = None
+    for b in range(bits):
+        term = (F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+                * F.lit(2 ** b).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))

@@ -14,6 +14,7 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
