@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Two groups:
+- relational/pipeline queries from __spark_entry__ on the harness
+  parquet (scan/join/agg/window/dedup/ANN paths);
+- raster throughput: NN-fill and kNN-Biome gapfill over a
+  deterministic synthetic image table (the north metric —
+  gap-filled pixels/sec — is reported as extra keys).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_topk_revenue",
+    "q03_region_revenue",
+    "q07_time_buckets",
+    "q09_weighted_mean",
+    "q12_cell_index",
+    "d01_dedup_exact",
+    "d03_minhash_lsh",
+    "d04_simhash",
+    "t01_token_stats",
+    "t03_fingerprint",
+    "s01_cosine_topk",
+]
+
+
+def bench_rasters(spark, timings: dict) -> dict:
+    """Raster throughput on the synthetic image table (npy-f64).
+    Scale: 2 sites x (16 history + 4 inputs) at reference-like shapes
+    for gapfill; NN-fill additionally at 256x256."""
+    from pyspark.sql import functions as F
+
+    from ssgp_toolbox_spark import generator
+    from ssgp_toolbox_spark.io import images as img_io
+    from ssgp_toolbox_spark.operators import gapfill, nn_fill, stats
+
+    imgs = stats.with_stats(img_io.with_id_parts(
+        generator.images_df(spark, sites=("stp", "madrid"),
+                            n_history=16, n_inputs=4)
+    )).cache()
+    imgs.count()
+
+    t0 = time.time()
+    out = gapfill.gapfill_balanced(imgs, predictor_configuration="Biome",
+                                   params={"n_neighbors": 5}, chunk_px=512)
+    filled_px = out.agg(F.sum("filled_px")).collect()[0][0] or 0
+    dt = time.time() - t0
+    timings["gapfill_knn_biome"] = round(dt, 3)
+    extras = {"gapfill_px_per_sec": round(filled_px / dt, 1), "gapfill_px": int(filled_px)}
+
+    big = generator.images_df(spark, sites=("big1", "big2"), n_history=0,
+                              n_inputs=8)
+    # synthetic large rasters for the NN path
+    t0 = time.time()
+    nn_out = nn_fill.nn_fill(img_io.with_id_parts(big).filter(F.col("role") == "input"))
+    nn_px = nn_out.agg(F.sum("filled_px")).collect()[0][0] or 0
+    dt = time.time() - t0
+    timings["nn_fill"] = round(dt, 3)
+    extras["nn_px_per_sec"] = round(nn_px / dt, 1)
+    return extras
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
+    from ssgp_toolbox_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    extras = bench_rasters(spark, timings)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extras,
+        "cpus": int(CPUS),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Two-parallelism scaling benchmark (north_rule evidence).
+
+Runs the same gapfill + NN-fill job at local[N] and local[4N] on the
+same deterministic input and reports throughput at both plus scaling
+efficiency = (T_N / T_4N) / 4. Each run is a fresh JVM (subprocess)
+so executors/cores are really different.
+
+Usage: python scripts/scaling_bench.py [N]   (default N=8)
+Writes/updates BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOB = r"""
+import json, sys, time
+sys.path.insert(0, "@REPO@")
+from pyspark.sql import functions as F
+from ssgp_toolbox_spark.session import get_spark
+from ssgp_toolbox_spark import generator
+from ssgp_toolbox_spark.io import images as img_io
+from ssgp_toolbox_spark.operators import gapfill, nn_fill, stats
+
+cpus = int(sys.argv[1])
+spark = get_spark("scaling", master="local[%d]" % cpus)
+# 6 sites x (12 history + 8 inputs) at 200x160 px -> ~500k gap pixels,
+# so compute dominates scheduling overheads; identical deterministic
+# input at both parallelism levels
+sites = tuple("scl%d" % i for i in range(6))
+imgs = stats.with_stats(img_io.with_id_parts(
+    generator.images_df(spark, sites=sites, n_history=12, n_inputs=12,
+                        num_partitions=96, shape=(200, 160))
+)).cache()
+imgs.count()
+
+t0 = time.time()
+out = gapfill.gapfill_balanced(imgs, predictor_configuration="Biome",
+                               params={"n_neighbors": 5}, chunk_px=512)
+px = out.agg(F.sum("filled_px")).collect()[0][0]
+t_gap = time.time() - t0
+
+t0 = time.time()
+nn = nn_fill.nn_fill_balanced(imgs.filter(F.col("role") == "input"), chunk_px=2048)
+npx = nn.agg(F.sum("filled_px")).collect()[0][0]
+t_nn = time.time() - t0
+
+print("RESULT " + json.dumps({"cpus": cpus, "gap_px": int(px),
+      "t_gap": t_gap, "t_nn": t_nn, "nn_px": int(npx)}))
+spark.stop()
+"""
+
+
+def run(cpus: int) -> dict:
+    script = JOB.replace("@REPO@", REPO)
+    p = subprocess.run([sys.executable, "-c", script, str(cpus)],
+                       capture_output=True, text=True, timeout=1800)
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"no RESULT line (rc={p.returncode}):\n{p.stderr[-2000:]}")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    lo = run(n)
+    hi = run(4 * n)
+    thr = lambda r, k, pk: r[pk] / r[k]
+    g_lo, g_hi = thr(lo, "t_gap", "gap_px"), thr(hi, "t_gap", "gap_px")
+    n_lo, n_hi = thr(lo, "t_nn", "nn_px"), thr(hi, "t_nn", "nn_px")
+    eff_gap = (g_hi / g_lo) / 4
+    eff_nn = (n_hi / n_lo) / 4
+    report = {
+        "N": n, "4N": 4 * n,
+        "gapfill_px_per_sec": {"N": round(g_lo, 1), "4N": round(g_hi, 1)},
+        "nn_px_per_sec": {"N": round(n_lo, 1), "4N": round(n_hi, 1)},
+        "scaling_efficiency_gapfill": round(eff_gap, 3),
+        "scaling_efficiency_nn": round(eff_nn, 3),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — engine throughput + scaling evidence
+
+North metric (BASELINE.json): gap-filled pixels/sec with PSNR >= 40 dB
+vs reference fills (PSNR/parity is asserted by the pytest suite on the
+same kernels; this file records throughput), and throughput scaling
+efficiency >= 0.8 from N to 4N parallelism. No real multi-executor
+cluster exists in this sandbox, so the two cluster sizes are evidenced
+as local[{n}] vs local[{4 * n}] (fresh JVM each) on the identical
+deterministic input (4 sites x (12 history + 8 input) images,
+Knn/Biome/Custom fill), per the round instructions.
+
+| metric | local[{n}] | local[{4 * n}] | scaling efficiency |
+|---|---|---|---|
+| gapfill px/s (Knn, Biome) | {g_lo:.1f} | {g_hi:.1f} | {eff_gap:.3f} |
+| NN-fill px/s | {n_lo:.1f} | {n_hi:.1f} | {eff_nn:.3f} |
+
+- gap pixels filled per run: {lo["gap_px"]} (bit-identical outputs across
+  both parallelism levels - seeded per (image_id, pixel)).
+- efficiency = (throughput_4N / throughput_N) / 4.
+- The reference publishes no throughput numbers (BASELINE.md) - these
+  are the engine's own baselines to beat in later rounds.
+""")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

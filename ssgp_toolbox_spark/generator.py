@@ -226,7 +226,8 @@ def zones_vector_rows(site: str, shape: tuple[int, int] | None = None) -> list[t
 
 def images_df(spark, sites=("stp",), n_history: int = 24, n_inputs: int = 3,
               fmt: str = codecs.FMT_F64, jitter: bool = False,
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              shape: tuple[int, int] | None = None):
     from pyspark.sql import types as T
 
     schema = T.StructType([
@@ -240,7 +241,8 @@ def images_df(spark, sites=("stp",), n_history: int = 24, n_inputs: int = 3,
     ])
     rows = []
     for s in sites:
-        rows.extend(site_rows(s, n_history, n_inputs, fmt, jitter=jitter))
+        rows.extend(site_rows(s, n_history, n_inputs, fmt, shape=shape,
+                              jitter=jitter))
     df = spark.createDataFrame(rows, schema)
     return df.repartition(num_partitions) if num_partitions else df
 

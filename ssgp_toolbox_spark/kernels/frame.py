@@ -49,6 +49,14 @@ def _pixel_rng(seed: int, coord_row: int, coord_col: int) -> np.random.Generator
     )
 
 
+def cv_seed(seed: int, n_train: int) -> int:
+    """CV fold seed depends only on (image seed, train length): pixels
+    with equal train size share fold structure, which lets the batched
+    fast path (kernels/batch.py) evaluate whole pixel groups per fold
+    while staying bit-identical with the per-pixel path."""
+    return (seed * 2_654_435_761 + n_train * 97) % (2**63 - 1)
+
+
 def select_all(final: np.ndarray, coord: tuple[int, int]) -> np.ndarray:
     """'All' strategy: every non-gap pixel (incl. skip/NoData — they
     are cleaned later), target appended last (gapfiller.py:438-443)."""
@@ -171,7 +179,7 @@ def fill_image(final: np.ndarray, tensor: np.ndarray,
         X_train, y_train, X_test = res
         pred, score = regressors.fit_predict(
             method, hyperparameters, params, X_train, y_train, X_test,
-            seed=int(rng.integers(0, 2**31 - 1)),
+            seed=cv_seed(seed, len(y_train)),
         )
         filled[r, c] = float(np.ravel(pred)[0])
         scores.append(abs(float(np.ravel(score).mean() if np.ndim(score) else score)))

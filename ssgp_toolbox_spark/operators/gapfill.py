@@ -81,6 +81,29 @@ def pack_extra(extras: DataFrame) -> DataFrame:
     return extras.groupBy("site").agg(F.first(layer).alias("extra_layer"))
 
 
+def _fill_kernel(final, tensor, extra, method, predictor_configuration,
+                 hyperparameters, params, seed, gap_slice=None):
+    """Dispatch: batched tensor-algebra path for Knn/Custom (20-60×
+    faster, bit-identical — kernels/batch.py), generic per-pixel path
+    otherwise."""
+    if method == "Knn" and hyperparameters == "Custom":
+        from ssgp_toolbox_spark.kernels import batch
+
+        return batch.fill_image_knn(
+            final, tensor, extra=extra,
+            predictor_configuration=predictor_configuration,
+            hyperparameters=hyperparameters, params=params, seed=seed,
+            gap_slice=gap_slice,
+        )
+    if gap_slice is not None:
+        raise ValueError("gap_slice is only supported on the batched Knn path")
+    return frame_kernel.fill_image(
+        final, tensor, extra=extra, method=method,
+        predictor_configuration=predictor_configuration,
+        hyperparameters=hyperparameters, params=params, seed=seed,
+    )
+
+
 def _fill_batches(method, predictor_configuration, hyperparameters, params):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,11 +119,9 @@ def _fill_batches(method, predictor_configuration, hyperparameters, params):
                     e = row.extra_layer
                     extra = codecs.decode(e["bytes"], int(e["h"]), int(e["w"]), e["fmt"])
                 n_gaps = int((final == GAP).sum())
-                filled, scores = frame_kernel.fill_image(
-                    final, tensor, extra=extra, method=method,
-                    predictor_configuration=predictor_configuration,
-                    hyperparameters=hyperparameters, params=params,
-                    seed=_stable_seed(row.image_id),
+                filled, scores = _fill_kernel(
+                    final, tensor, extra, method, predictor_configuration,
+                    hyperparameters, params, seed=_stable_seed(row.image_id),
                 )
                 out["image_id"].append(row.image_id)
                 out["bytes"].append(codecs.encode(filled, row.fmt))
@@ -159,6 +180,133 @@ def gapfill(images: DataFrame, method: str = "Lasso",
         F.lit(0.0).alias("mean_cv_mae"),
     )
     return filled.unionByName(pass_df)
+
+
+CHUNK_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("chunk_id", T.IntegerType()),
+    T.StructField("rows", T.BinaryType()),    # int32 LE gap-pixel rows
+    T.StructField("cols", T.BinaryType()),    # int32 LE gap-pixel cols
+    T.StructField("vals", T.BinaryType()),    # f64 LE filled values
+    T.StructField("scores", T.BinaryType()),  # f64 LE per-pixel |CV-MAE|
+])
+
+
+def _chunk_fill_batches(predictor_configuration, params, chunk_px):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in CHUNK_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                final = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                tensor = np.stack([
+                    codecs.decode(l["bytes"], int(l["h"]), int(l["w"]), l["fmt"])
+                    for l in row.hist_layers
+                ])
+                extra = None
+                if predictor_configuration == "Biome":
+                    e = row.extra_layer
+                    extra = codecs.decode(e["bytes"], int(e["h"]), int(e["w"]), e["fmt"])
+                lo = int(row.chunk_id) * chunk_px
+                hi = lo + chunk_px
+                gaps = np.argwhere(final == GAP)[lo:hi]
+                filled, scores = _fill_kernel(
+                    final, tensor, extra, "Knn", predictor_configuration,
+                    "Custom", params, seed=_stable_seed(row.image_id),
+                    gap_slice=(lo, hi),
+                )
+                changed = filled[gaps[:, 0], gaps[:, 1]]
+                out["image_id"].append(row.image_id)
+                out["chunk_id"].append(int(row.chunk_id))
+                out["rows"].append(gaps[:, 0].astype("<i4").tobytes())
+                out["cols"].append(gaps[:, 1].astype("<i4").tobytes())
+                out["vals"].append(np.ascontiguousarray(changed, "<f8").tobytes())
+                out["scores"].append(np.array(scores, "<f8").tobytes())
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in GAPFILL_SCHEMA.fieldNames()}
+        for row in pdf.itertuples(index=False):
+            final = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+            filled = final.copy()
+            all_scores = []
+            n_px = 0
+            for ch in sorted(row.chunks, key=lambda c: c["chunk_id"]):
+                rs = np.frombuffer(ch["rows"], dtype="<i4")
+                cs = np.frombuffer(ch["cols"], dtype="<i4")
+                vs = np.frombuffer(ch["vals"], dtype="<f8")
+                filled[rs, cs] = vs
+                all_scores.append(np.frombuffer(ch["scores"], dtype="<f8"))
+                n_px += len(rs)
+            scores = np.concatenate(all_scores) if all_scores else np.array([])
+            out["image_id"].append(row.image_id)
+            out["bytes"].append(codecs.encode(filled, row.fmt))
+            out["w"].append(row.w)
+            out["h"].append(row.h)
+            out["fmt"].append(row.fmt)
+            out["caption"].append(row.caption)
+            out["phash"].append(codecs.phash64(filled))
+            out["status"].append("filled")
+            out["filled_px"].append(n_px)
+            out["mean_cv_mae"].append(float(scores.mean()) if len(scores) else float("nan"))
+        yield pd.DataFrame(out)
+
+
+def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
+                     params: dict | None = None, min_valid: int = 101,
+                     chunk_px: int = 512) -> DataFrame:
+    """Skew-balanced gapfill (Knn/Custom): each viable image's gap
+    scan is split into ``chunk_px``-pixel chunks that fill as
+    independent tasks (the salting of the north_rule — a 96%-gap image
+    no longer serializes the stage), then chunks are reassembled per
+    image. Per-pixel seeding makes the result bit-identical to
+    ``gapfill``.
+
+    Plan: pack-history shuffle → chunk explode (declarative
+    sequence/explode on gap_count) → mapInPandas fill → ONE extra
+    shuffle of (row, col, value) deltas (tiny: 20 bytes/gap-pixel,
+    not image payloads) → assemble join."""
+    inputs = images.filter(F.col("role") == "input")
+    viable = inputs.filter((F.col("valid_px") > min_valid) & (F.col("gap_count") > 0))
+    passthrough = inputs.filter(
+        (F.col("valid_px") > min_valid) & (F.col("gap_count") == 0)
+    )
+
+    hist = pack_history(images.filter(F.col("role") == "history"))
+    n_chunks = F.ceil(F.col("gap_count") / chunk_px).cast("int")
+    # repartition the exploded chunks BEFORE joining the packed stacks:
+    # only ~54 KB image payloads cross the wire; the multi-MB history
+    # blobs ride a broadcast join (per-site stacks are small; with
+    # millions of sites swap the hint for a bucketed join on site)
+    chunks = viable.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    ).repartition("image_id", "chunk_id")
+    joined = chunks.join(F.broadcast(hist), "site")
+    keep = ["image_id", "chunk_id", "bytes", "w", "h", "fmt", "hist_layers"]
+    if predictor_configuration == "Biome":
+        extra = pack_extra(images.filter(F.col("role") == "extra"))
+        joined = joined.join(F.broadcast(extra), "site")
+        keep.append("extra_layer")
+    partials = joined.select(*keep).mapInPandas(
+        _chunk_fill_batches(predictor_configuration, params, chunk_px), CHUNK_SCHEMA
+    )
+    packed = partials.groupBy("image_id").agg(
+        F.collect_list(F.struct("chunk_id", "rows", "cols", "vals", "scores")).alias("chunks")
+    )
+    assembled = viable.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    ).join(packed, "image_id").mapInPandas(_assemble_batches, GAPFILL_SCHEMA)
+
+    pass_df = passthrough.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        F.lit("passthrough").alias("status"),
+        F.lit(0).alias("filled_px"),
+        F.lit(0.0).alias("mean_cv_mae"),
+    )
+    return assembled.unionByName(pass_df)
 
 
 def fill_metrics(filled: DataFrame) -> DataFrame:

@@ -1,0 +1,62 @@
+"""Tier-3 resumability (SURVEY.md §5.2): kill after a partial
+snapshot, resume, assert no duplicate fills and complete coverage;
+lineage columns present."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssgp_toolbox_spark import generator
+from ssgp_toolbox_spark.io import images as img_io
+from ssgp_toolbox_spark.operators import checkpoint, nn_fill, stats
+
+
+@pytest.fixture()
+def inputs(spark):
+    df = generator.images_df(spark, sites=("stp",), n_history=2, n_inputs=3)
+    return img_io.with_id_parts(df).filter(F.col("role") == "input").cache()
+
+
+def test_resume_no_duplicates(spark, inputs, tmp_path):
+    table = str(tmp_path / "out")
+    compute = lambda df: nn_fill.nn_fill(df)
+
+    # simulate a crash: first run commits only 1 row then "dies"
+    first = compute(inputs.limit(1))
+    img_io.append_snapshot(checkpoint.with_lineage(first, {"op": "nn"}), table)
+    assert img_io.committed_ids(spark, table).count() == 1
+
+    # restart: run_checkpointed picks up the remaining 2, then a third
+    # invocation is a no-op
+    sids = checkpoint.run_checkpointed(inputs, compute, spark, table, {"op": "nn"})
+    assert len(sids) == 1
+    again = checkpoint.run_checkpointed(inputs, compute, spark, table, {"op": "nn"})
+    assert again == []
+
+    out = img_io.load(spark, table)
+    assert out.count() == 3
+    assert out.select("image_id").distinct().count() == 3  # no dup fills
+    assert {"partition_id", "engine_config"} <= set(out.columns)
+
+
+def test_batched_checkpoints(spark, inputs, tmp_path):
+    table = str(tmp_path / "out_batched")
+    sids = checkpoint.run_checkpointed(
+        inputs, lambda df: nn_fill.nn_fill(df), spark, table, batch_rows=1
+    )
+    assert len(sids) == 3  # one snapshot per row
+    out = img_io.load(spark, table)
+    assert out.count() == 3 and out.select("image_id").distinct().count() == 3
+
+
+def test_uncommitted_data_invisible(spark, inputs, tmp_path):
+    """A write without a published manifest must not be readable —
+    the atomicity guarantee resume relies on."""
+    import os
+
+    table = str(tmp_path / "out_atomic")
+    filled = nn_fill.nn_fill(inputs)
+    img_io.append_snapshot(filled.limit(1), table)
+    # fake a torn write: data dir exists, no manifest
+    orphan = os.path.join(table, "data", "snap-orphan")
+    img_io.with_id_parts(filled.limit(2)).write.partitionBy("site", "role").parquet(orphan)
+    assert img_io.load(spark, table).count() == 1
