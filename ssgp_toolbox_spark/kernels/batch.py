@@ -94,13 +94,24 @@ def _biome_coords_batched(final, extra, gaps, seed):
         cands = np.argwhere(masked == code)
         if len(cands) > FR.BIOME_MIN:
             pts = gaps[sel]  # (s, 2)
-            # bound the (pixels × candidates) distance matrix to ~64MB
-            step = max(1, int(8e6 // max(len(cands), 1)))
+            n_c = len(cands)
+            # exact (d², index) composite key: pixel distances are
+            # integers, so key = d²·n + idx orders identically to the
+            # stable argsort — but argpartition + tiny sort is O(n)
+            # instead of O(n log n) full-matrix sort (the bandwidth hog)
+            step = max(1, int(8e6 // max(n_c, 1)))
+            k = FR.N_NEAREST
             for lo in range(0, len(pts), step):
                 blk = pts[lo : lo + step]
                 d2 = ((blk[:, None, :] - cands[None, :, :]) ** 2).sum(-1)
-                order = np.argsort(d2, axis=1, kind="stable")[:, : FR.N_NEAREST]
-                out[sel[lo : lo + step], :-1] = cands[order]
+                key = d2.astype(np.int64) * n_c + np.arange(n_c, dtype=np.int64)
+                if n_c > k:
+                    part = np.argpartition(key, k - 1, axis=1)[:, :k]
+                else:
+                    part = np.broadcast_to(np.arange(n_c), (len(blk), n_c)).copy()
+                topkeys = np.take_along_axis(key, part, axis=1)
+                order = np.take_along_axis(part, np.argsort(topkeys, axis=1), axis=1)
+                out[sel[lo : lo + step], :-1] = cands[order[:, :k]]
         else:
             for s in sel:
                 r, c = (int(v) for v in gaps[s])

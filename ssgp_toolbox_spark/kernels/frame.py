@@ -66,25 +66,22 @@ def select_all(final: np.ndarray, coord: tuple[int, int]) -> np.ndarray:
 
 def select_random(final: np.ndarray, coord: tuple[int, int],
                   rng: np.random.Generator) -> np.ndarray:
-    """'Random' strategy: 101 distinct valid coords by rejection
-    sampling, target appended last (gapfiller.py:457-486)."""
-    h, w = final.shape
-    chosen: list[tuple[int, int]] = []
-    seen = set()
-    while len(chosen) < N_RANDOM:
-        # vectorized rejection: draw a batch, filter, dedupe in order
-        ri = rng.integers(0, h, size=256)
-        rj = rng.integers(0, w, size=256)
-        vals = final[ri, rj]
-        ok = (vals != GAP) & (vals != SKIP) & (vals != NODATA)
-        for i, j in zip(ri[ok], rj[ok]):
-            t = (int(i), int(j))
-            if t not in seen:
-                seen.add(t)
-                chosen.append(t)
-                if len(chosen) == N_RANDOM:
-                    break
-    return np.vstack([np.array(chosen), [coord]])
+    """'Random' strategy: 101 distinct valid coords, target appended
+    last (gapfiller.py:457-486). The reference rejection-samples with
+    unseeded ``random.randint`` — which silently never terminates when
+    fewer than 101 valid pixels exist and degenerates near that bound
+    (that is why its viability threshold is 101, gapfiller.py:860).
+    Ours draws a seeded permutation of the valid set: same contract
+    (101 distinct valid, uniform), deterministic per pixel, O(valid),
+    and raises instead of hanging on infeasible images."""
+    valid = np.argwhere((final != GAP) & (final != SKIP) & (final != NODATA))
+    if len(valid) < N_RANDOM:
+        raise ValueError(
+            f"Random predictor selection needs {N_RANDOM} valid pixels, "
+            f"image has {len(valid)} (reference would loop forever here)"
+        )
+    chosen = valid[rng.permutation(len(valid))[:N_RANDOM]]
+    return np.vstack([chosen, [coord]])
 
 
 def _k_nearest(coords: np.ndarray, coord: tuple[int, int], k: int) -> np.ndarray:

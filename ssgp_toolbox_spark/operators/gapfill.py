@@ -192,20 +192,33 @@ CHUNK_SCHEMA = T.StructType([
 ])
 
 
-def _chunk_fill_batches(predictor_configuration, params, chunk_px):
+# per-python-worker decode cache for broadcast history stacks: one
+# decode per (site, broadcast-id) per worker process, not per chunk
+_BC_CACHE: dict = {}
+
+
+def _bc_tensors(bc, site):
+    gen = bc.value["gen"]
+    key = (gen, site)
+    if key not in _BC_CACHE:
+        for stale in [k for k in _BC_CACHE if k[0] != gen]:
+            del _BC_CACHE[stale]
+        hist_layers, extra_layer = bc.value["sites"][site]
+        tensor = np.stack([
+            codecs.decode(b, h, w, f) for (_ts, b, h, w, f) in hist_layers
+        ]) if hist_layers else None
+        extra = codecs.decode(*extra_layer) if extra_layer else None
+        _BC_CACHE[key] = (tensor, extra)
+    return _BC_CACHE[key]
+
+
+def _chunk_fill_batches(bc, predictor_configuration, params, chunk_px):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in CHUNK_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
                 final = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
-                tensor = np.stack([
-                    codecs.decode(l["bytes"], int(l["h"]), int(l["w"]), l["fmt"])
-                    for l in row.hist_layers
-                ])
-                extra = None
-                if predictor_configuration == "Biome":
-                    e = row.extra_layer
-                    extra = codecs.decode(e["bytes"], int(e["h"]), int(e["w"]), e["fmt"])
+                tensor, extra = _bc_tensors(bc, row.site)
                 lo = int(row.chunk_id) * chunk_px
                 hi = lo + chunk_px
                 gaps = np.argwhere(final == GAP)[lo:hi]
@@ -275,23 +288,45 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
         (F.col("valid_px") > min_valid) & (F.col("gap_count") == 0)
     )
 
-    hist = pack_history(images.filter(F.col("role") == "history"))
+    # side inputs ride a Spark *broadcast variable*: per-site history
+    # stacks + extra layer reach each executor once and decode once per
+    # Python worker (module-level cache) — joining them onto every
+    # chunk row would push multi-MB Arrow batches through the Python
+    # pipe per 512-pixel task (measured 2.4× throughput loss). With
+    # millions of sites this one-shot broadcast is replaced by the
+    # plain-join path of ``gapfill`` or a per-tile history table.
+    import uuid
+
+    sc = images.sparkSession.sparkContext
+    hist_rows = pack_history(images.filter(F.col("role") == "history")).collect()
+    extra_rows = {}
+    if predictor_configuration == "Biome":
+        extra_rows = {
+            r["site"]: (bytes(r["extra_layer"]["bytes"]),
+                        int(r["extra_layer"]["h"]), int(r["extra_layer"]["w"]),
+                        r["extra_layer"]["fmt"])
+            for r in pack_extra(images.filter(F.col("role") == "extra")).collect()
+        }
+    site_map = {}
+    for r in hist_rows:
+        layers = [(l["ts"], bytes(l["bytes"]), int(l["h"]), int(l["w"]), l["fmt"])
+                  for l in r["hist_layers"]]
+        site_map[r["site"]] = (layers, extra_rows.get(r["site"]))
+    bc = sc.broadcast({"gen": uuid.uuid4().hex, "sites": site_map})
+
     n_chunks = F.ceil(F.col("gap_count") / chunk_px).cast("int")
-    # repartition the exploded chunks BEFORE joining the packed stacks:
-    # only ~54 KB image payloads cross the wire; the multi-MB history
-    # blobs ride a broadcast join (per-site stacks are small; with
-    # millions of sites swap the hint for a bucketed join on site)
+    # explicit partition count: the chunk shuffle is tiny in BYTES but
+    # heavy in CPU per row — AQE's size-based coalescing would collapse
+    # it to a handful of tasks; a user-specified count is exempt
+    n_parts = max(sc.defaultParallelism * 3, 8)
     chunks = viable.withColumn(
         "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
-    ).repartition("image_id", "chunk_id")
-    joined = chunks.join(F.broadcast(hist), "site")
-    keep = ["image_id", "chunk_id", "bytes", "w", "h", "fmt", "hist_layers"]
-    if predictor_configuration == "Biome":
-        extra = pack_extra(images.filter(F.col("role") == "extra"))
-        joined = joined.join(F.broadcast(extra), "site")
-        keep.append("extra_layer")
-    partials = joined.select(*keep).mapInPandas(
-        _chunk_fill_batches(predictor_configuration, params, chunk_px), CHUNK_SCHEMA
+    ).repartition(n_parts, "image_id", "chunk_id")
+    partials = chunks.select(
+        "image_id", "site", "chunk_id", "bytes", "w", "h", "fmt"
+    ).mapInPandas(
+        _chunk_fill_batches(bc, predictor_configuration, params, chunk_px),
+        CHUNK_SCHEMA,
     )
     packed = partials.groupBy("image_id").agg(
         F.collect_list(F.struct("chunk_id", "rows", "cols", "vals", "scores")).alias("chunks")

@@ -157,9 +157,12 @@ def nn_fill_balanced(images: DataFrame, chunk_px: int = 4096) -> DataFrame:
         *base_cols, F.lit("not_enough_valid").alias("status"), F.lit(0).alias("filled_px"))
 
     n_chunks = F.ceil(F.col("gap_count") / chunk_px).cast("int")
+    # explicit count → AQE won't coalesce this CPU-heavy tiny-byte shuffle
+    sc = images.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism * 3, 8)
     chunks = viable.withColumn(
         "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
-    ).repartition("image_id", "chunk_id")
+    ).repartition(n_parts, "image_id", "chunk_id")
     partials = chunks.select("image_id", "chunk_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(_nn_chunk_batches(chunk_px), _NN_CHUNK_SCHEMA)
     packed = partials.groupBy("image_id").agg(

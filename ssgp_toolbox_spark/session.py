@@ -31,9 +31,18 @@ DEFAULT_CONFS = {
 def get_spark(app_name: str = "ssgp-toolbox-spark", master: str | None = None,
               extra_confs: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # one BLAS thread per task: Spark supplies the parallelism; an
+    # unpinned OpenBLAS would oversubscribe every core from every
+    # Python worker (and silently use the whole box at local[N<cores],
+    # wrecking both throughput and any scaling measurement)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
-    for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+    confs = {**DEFAULT_CONFS, **(extra_confs or {})}
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        confs.setdefault(f"spark.executorEnv.{var}", "1")
+    for k, v in confs.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,104 @@
+"""Tier-4 (SURVEY.md §5.2): skew handling + physical-plan checks —
+the plan, not just the result, is the deliverable at 100 TB."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ssgp_toolbox_spark import codecs, generator
+from ssgp_toolbox_spark.io import images as img_io
+from ssgp_toolbox_spark.operators import gapfill, stats
+from ssgp_toolbox_spark.sentinels import GAP
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hot_image_fans_out(spark):
+    """A 100×-denser gap image must split into proportionally many
+    chunk tasks (the salting guarantee): no task holds more than
+    chunk_px pixels of any image."""
+    small = generator.make_layer("sk", 60, 50, 30, "input", 0.01)
+    # 80% gaps: heavily skewed but still viable (valid_px > 101 — the
+    # reference's own EP1 threshold; below it the image is excluded)
+    hot = generator.make_layer("sk", 60, 50, 31, "input", 0.80)
+    rows = [
+        generator.image_row("sk", "input", "20190916T000000", small, codecs.FMT_F64, 1),
+        generator.image_row("sk", "input", "20190916T120000", hot, codecs.FMT_F64, 80),
+    ] + generator.site_rows("sk", n_history=3, n_inputs=0, shape=(60, 50))
+    df = stats.with_stats(img_io.with_id_parts(
+        spark.createDataFrame(rows, schema=generator.IMAGE_COLUMNS)
+    ))
+    chunk_px = 200
+    viable = df.filter((F.col("role") == "input") & (F.col("gap_count") > 0))
+    n_chunks = viable.select(
+        "image_id", F.ceil(F.col("gap_count") / chunk_px).cast("int").alias("nc"),
+        "gap_count",
+    ).collect()
+    by_id = {r["image_id"]: r for r in n_chunks}
+    hot_r = by_id["sk/input/20190916T120000"]
+    small_r = by_id["sk/input/20190916T000000"]
+    # hot image fans out into ceil(gap_count/chunk) tasks; no task ever
+    # holds more than chunk_px pixels regardless of image density
+    assert hot_r["nc"] == -(-hot_r["gap_count"] // chunk_px)
+    assert small_r["nc"] == -(-small_r["gap_count"] // chunk_px)
+    assert hot_r["nc"] >= 10
+    assert hot_r["gap_count"] > 4 * small_r["gap_count"]
+    # end-to-end: balanced fill still completes and fills everything
+    out = gapfill.gapfill_balanced(df, predictor_configuration="Biome",
+                                   params={"n_neighbors": 5},
+                                   min_valid=101, chunk_px=chunk_px).collect()
+    for r in out:
+        m = codecs.decode(bytes(r["bytes"]), r["h"], r["w"], r["fmt"])
+        assert (m == GAP).sum() == 0
+
+
+def test_balanced_plan_ships_no_history_rows(spark):
+    """History stacks travel as a Spark broadcast *variable*, not as
+    join rows: the fill branch of the plan must contain no
+    hist_layers column (per-chunk Arrow transfer of multi-MB stacks
+    was a measured 2.4× throughput loss)."""
+    images = stats.with_stats(img_io.with_id_parts(
+        generator.images_df(spark, sites=("stp",), n_history=2, n_inputs=1)
+    ))
+    plan = _plan(gapfill.gapfill_balanced(images, predictor_configuration="Biome",
+                                          params={"n_neighbors": 5}))
+    # two pandas stages: chunk fill + assemble (names get truncated in
+    # the plan string, so count the operators)
+    assert plan.count("MapInPandas") >= 2
+    assert "hist_layers" not in plan
+    # the plain-join path (for site counts too large to broadcast)
+    # keeps the packed-history join
+    plain = _plan(gapfill.gapfill(images, method="Knn",
+                                  predictor_configuration="Biome",
+                                  hyperparameters="Custom",
+                                  params={"n_neighbors": 5}))
+    assert "hist_layers" in plain
+
+
+def test_parquet_scan_pushdown(spark, tmp_path):
+    """Viability predicates must reach the parquet scan (PushedFilters)
+    and partition values must prune (site/role partition columns)."""
+    table = str(tmp_path / "imgs")
+    df = stats.with_stats(img_io.with_id_parts(
+        generator.images_df(spark, sites=("stp", "vlad"), n_history=2, n_inputs=1)
+    ))
+    img_io.append_snapshot(df, table)
+    loaded = img_io.load(spark, table)
+    q = loaded.filter((F.col("role") == "input") & (F.col("valid_px") > 101))
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "valid_px" in plan.split("PushedFilters")[1][:200]
+    # partition pruning: role is a directory-level column
+    assert "PartitionFilters" in plan
+
+
+def test_column_pruning(spark, tmp_path):
+    """A 2-column projection must not read pixel payloads."""
+    table = str(tmp_path / "imgs2")
+    df = img_io.with_id_parts(generator.images_df(spark, sites=("stp",), n_history=2, n_inputs=1))
+    img_io.append_snapshot(df, table)
+    q = img_io.load(spark, table).select("image_id", "phash")
+    plan = _plan(q)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "bytes" not in read_schema and "caption" not in read_schema
