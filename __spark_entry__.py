@@ -360,6 +360,38 @@ def r05_multimodal_features(spark, sf):
     ).orderBy("image_id")
 
 
+def q14_ndvi_albedo(spark, sf):
+    """Ingest-stage band math (S8/C5/C6/F13): NDVI + Liang albedo
+    with clamp-to-gap, over synthetic bands derived from events."""
+    from ssgp_toolbox_spark.functions import ingest
+
+    e = _t(spark, sf, "events")
+    red = F.col("value") / 100.0
+    nir = (F.col("event_id") % 97).cast("double") / 96.0
+    b = lambda i: ((F.col("value") * i) % 100.0) / 100.0
+    df = e.select(
+        F.round(ingest.ndvi(nir, red), 6).alias("ndvi"),
+        F.round(ingest.broadband_albedo(b(1), b(2), b(3), b(4), b(5), b(7)), 6).alias("albedo"),
+    )
+    return df.agg(
+        F.count(F.when(F.col("ndvi") == -100.0, 1)).alias("ndvi_clamped"),
+        F.round(F.avg(F.when(F.col("ndvi") != -100.0, F.col("ndvi"))), 6).alias("ndvi_avg"),
+        F.count(F.when(F.col("albedo") == -100.0, 1)).alias("albedo_clamped"),
+        F.round(F.avg(F.when(F.col("albedo") != -100.0, F.col("albedo"))), 6).alias("albedo_avg"),
+    )
+
+
+def q15_qc_policy(spark, sf):
+    """Two-bit QC policies 0 vs 1 (F12, MODIS_MOD_MYD_11.py:102-129)."""
+    from ssgp_toolbox_spark.functions import ingest
+
+    e = _t(spark, sf, "events")
+    return (e.select(ingest.qc_two_bit(F.col("event_id"), 0).alias("lenient"),
+                     ingest.qc_two_bit(F.col("event_id"), 1).alias("strict"))
+            .groupBy("lenient", "strict").agg(F.count("*").alias("n"))
+            .orderBy("lenient", "strict"))
+
+
 # --------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------
@@ -388,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_utm_zone": q11_utm_zone,
         "q12_cell_index": q12_cell_index,
         "q13_sentinel_counts": q13_sentinel_counts,
+        "q14_ndvi_albedo": q14_ndvi_albedo,
+        "q15_qc_policy": q15_qc_policy,
         "d01_dedup_exact": d01_dedup_exact,
         "d02_jaccard_pairs": d02_jaccard_pairs,
         "d03_minhash_lsh": d03_minhash_lsh,
@@ -545,6 +579,40 @@ SELECT sum(CASE WHEN value < 5.0 THEN 1 ELSE 0 END) AS gap_like,
        sum(CASE WHEN value > 95.0 THEN 1 ELSE 0 END) AS skip_like,
        sum(CASE WHEN value BETWEEN 5.0 AND 95.0 THEN 1 ELSE 0 END) AS valid_px
 FROM events
+""",
+        "q14_ndvi_albedo": """
+WITH bands AS (
+  SELECT value / 100.0 AS red,
+         CAST(event_id % 97 AS DOUBLE) / 96.0 AS nir,
+         fmod(value * 1, 100.0) / 100.0 AS b1,
+         fmod(value * 2, 100.0) / 100.0 AS b2,
+         fmod(value * 3, 100.0) / 100.0 AS b3,
+         fmod(value * 4, 100.0) / 100.0 AS b4,
+         fmod(value * 5, 100.0) / 100.0 AS b5,
+         fmod(value * 7, 100.0) / 100.0 AS b7
+  FROM events
+), calc AS (
+  SELECT
+    round(CASE WHEN (nir - red) / (nir + red) BETWEEN -1.0 AND 1.0
+          THEN (nir - red) / (nir + red) ELSE -100.0 END, 6) AS ndvi,
+    round(CASE WHEN 0.160*b1 + 0.291*b2 + 0.243*b3 + 0.116*b4 + 0.112*b5 + 0.081*b7 - 0.0015 BETWEEN 0.0 AND 1.0
+          THEN 0.160*b1 + 0.291*b2 + 0.243*b3 + 0.116*b4 + 0.112*b5 + 0.081*b7 - 0.0015
+          ELSE -100.0 END, 6) AS albedo
+  FROM bands
+)
+SELECT count(CASE WHEN ndvi = -100.0 THEN 1 END) AS ndvi_clamped,
+       round(avg(CASE WHEN ndvi != -100.0 THEN ndvi END), 6) AS ndvi_avg,
+       count(CASE WHEN albedo = -100.0 THEN 1 END) AS albedo_clamped,
+       round(avg(CASE WHEN albedo != -100.0 THEN albedo END), 6) AS albedo_avg
+FROM calc
+""",
+        "q15_qc_policy": """
+SELECT CASE event_id & 3 WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+       WHEN 2 THEN 'gap' ELSE 'nodata' END AS lenient,
+       CASE event_id & 3 WHEN 0 THEN 'ok' WHEN 1 THEN 'gap'
+       WHEN 2 THEN 'skip' ELSE 'nodata' END AS strict,
+       count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "d01_dedup_exact": f"""
 SELECT {h60.format(x='text')} AS content_hash,

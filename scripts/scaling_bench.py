@@ -30,13 +30,13 @@ from ssgp_toolbox_spark.operators import gapfill, nn_fill, stats
 
 cpus = int(sys.argv[1])
 spark = get_spark("scaling", master="local[%d]" % cpus)
-# 6 sites x (12 history + 8 inputs) at 200x160 px -> ~500k gap pixels,
-# so compute dominates scheduling overheads; identical deterministic
-# input at both parallelism levels
+# 6 sites x (12 history + 24 inputs) at 250x200 px -> ~2.8M gap
+# pixels: the 4N run takes ~1 min of pure fill, so compute dominates
+# scheduling overheads; identical deterministic input at both levels
 sites = tuple("scl%d" % i for i in range(6))
 imgs = stats.with_stats(img_io.with_id_parts(
-    generator.images_df(spark, sites=sites, n_history=12, n_inputs=12,
-                        num_partitions=96, shape=(200, 160))
+    generator.images_df(spark, sites=sites, n_history=12, n_inputs=24,
+                        num_partitions=96, shape=(250, 200))
 )).cache()
 imgs.count()
 

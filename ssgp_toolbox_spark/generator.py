@@ -120,7 +120,9 @@ def zone_raster(site: str, h: int, w: int, n_zones: int = 12) -> np.ndarray:
     """Seeded Voronoi biome raster: codes 1..n_zones, nearest-seed with
     first-index (lowest zone id) tie-break — contiguous regions. One
     zone is forced tiny (≤41 px) to exercise the reference's random
-    fallback branch (gapfiller.py:536-586)."""
+    fallback branch (gapfiller.py:536-586). Water is its own biome 0,
+    like the reference (S3_L2_LST.py:141-149 maps biome==0 → skip) —
+    so land pixels never draw sea predictors in Biome mode."""
     rng = _rng(site, "zones")
     seeds = np.stack(
         [rng.uniform(0, h, n_zones), rng.uniform(0, w, n_zones)], axis=1
@@ -132,6 +134,7 @@ def zone_raster(site: str, h: int, w: int, n_zones: int = 12) -> np.ndarray:
     # carve a guaranteed-tiny zone: a 5×5 patch with its own code
     pi, pj = int(rng.uniform(0, h - 5)), int(rng.uniform(0, w - 5))
     codes[pi : pi + 5, pj : pj + 5] = n_zones + 1
+    codes[sea_mask(site, h, w)] = 0
     return codes
 
 

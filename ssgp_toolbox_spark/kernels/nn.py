@@ -23,8 +23,11 @@ MIN_VALID = 10  # reference viability threshold for EP2 (gapfiller.py:924-929)
 
 def nn_fill_values(points: np.ndarray, values: np.ndarray,
                    targets: np.ndarray, chunk: int = 1024) -> np.ndarray:
-    """1-NN lookup: nearest of ``points`` for each of ``targets``.
-    Ties broken by first index (stable argmin)."""
+    """1-NN lookup over an arbitrary point cloud: nearest of
+    ``points`` for each of ``targets``, ties broken by first index
+    (stable argmin). O(targets × points) — used for halo-window point
+    clouds (tiled_fill) and as the small-scale oracle-compatible path;
+    dense rasters use ``nn_lookup_grid`` below."""
     out = np.empty(len(targets), dtype=values.dtype)
     pts = points.astype(np.float64)
     for s in range(0, len(targets), chunk):
@@ -32,6 +35,46 @@ def nn_fill_values(points: np.ndarray, values: np.ndarray,
         d2 = ((t[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
         out[s : s + chunk] = values[np.argmin(d2, axis=1)]
     return out
+
+
+def _column_nearest(valid: np.ndarray):
+    """Per (row, col): nearest valid row in that column above/below
+    (vectorized accumulate over rows)."""
+    H, W = valid.shape
+    idx = np.arange(H)[:, None]
+    above = np.maximum.accumulate(np.where(valid, idx, -1), axis=0)
+    below = np.minimum.accumulate(np.where(valid, idx, 2 * H)[::-1], axis=0)[::-1]
+    return above, below
+
+
+def nn_lookup_grid(matrix: np.ndarray, valid: np.ndarray,
+                   targets: np.ndarray) -> np.ndarray:
+    """Exact grid 1-NN with the same (distance, row-major index)
+    tie-break as the brute-force path, in O(W) per target instead of
+    O(valid): per-column nearest-valid-row prepass, then for each
+    target one sweep over columns with an integer (d², r, c) composite
+    key. Bandwidth-light — this is what lets the NN fill scale with
+    cores instead of saturating memory."""
+    H, W = matrix.shape
+    above, below = _column_nearest(valid)
+    tr, tc = targets[:, 0], targets[:, 1]
+    a = above[tr]                       # (T, W)
+    b = below[tr]
+    d_up = tr[:, None] - a
+    d_dn = b - tr[:, None]
+    no_up = a < 0
+    no_dn = b >= 2 * H
+    use_up = (d_up <= d_dn) & ~no_up | no_dn  # tie → smaller row (row-major)
+    rbest = np.where(use_up, a, b)
+    dr = np.where(use_up, d_up, d_dn).astype(np.int64)
+    cols = np.arange(W, dtype=np.int64)[None, :]
+    dc = tc[:, None] - cols
+    d2 = dr * dr + dc * dc
+    key = d2 * (H * W) + rbest * W + cols
+    key[no_up & no_dn] = np.iinfo(np.int64).max  # empty column
+    k = np.argmin(key, axis=1)
+    rows_sel = rbest[np.arange(len(targets)), k]
+    return matrix[rows_sel, k.astype(np.int64)]
 
 
 def nn_interpolate(matrix: np.ndarray):
@@ -49,10 +92,8 @@ def nn_interpolate(matrix: np.ndarray):
     # flatten skip/NoData into the fill set (gapfiller.py:942-944)
     work[(work == SKIP) | (work == NODATA)] = GAP
     fill_targets = np.argwhere(work == GAP)
-    valid_pts = np.argwhere(work != GAP)
-    vals = work[valid_pts[:, 0], valid_pts[:, 1]]
-    work[fill_targets[:, 0], fill_targets[:, 1]] = nn_fill_values(
-        valid_pts, vals, fill_targets
+    work[fill_targets[:, 0], fill_targets[:, 1]] = nn_lookup_grid(
+        work, work != GAP, fill_targets
     )
     # restore pristine skip/NoData (gapfiller.py:960-962)
     work[m == SKIP] = SKIP

@@ -318,7 +318,7 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
     # explicit partition count: the chunk shuffle is tiny in BYTES but
     # heavy in CPU per row — AQE's size-based coalescing would collapse
     # it to a handful of tasks; a user-specified count is exempt
-    n_parts = max(sc.defaultParallelism * 3, 8)
+    n_parts = max(sc.defaultParallelism * 8, 8)
     chunks = viable.withColumn(
         "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
     ).repartition(n_parts, "image_id", "chunk_id")

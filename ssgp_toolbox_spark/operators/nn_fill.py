@@ -95,14 +95,12 @@ def _nn_chunk_batches(chunk_px: int):
                 m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 work = m.copy()
                 work[(work == SKIP) | (work == NODATA)] = GAP
-                valid_pts = np.argwhere(work != GAP)
-                vals = work[valid_pts[:, 0], valid_pts[:, 1]]
                 # only true gaps change in the final image (skip/NoData
                 # are restored by nn_interpolate, gapfiller.py:960-962)
                 targets = np.argwhere(m == GAP)
                 lo = int(row.chunk_id) * chunk_px
                 sel = targets[lo : lo + chunk_px]
-                filled = nn.nn_fill_values(valid_pts, vals, sel)
+                filled = nn.nn_lookup_grid(work, work != GAP, sel)
                 out["image_id"].append(row.image_id)
                 out["chunk_id"].append(int(row.chunk_id))
                 out["rows"].append(sel[:, 0].astype("<i4").tobytes())
@@ -159,7 +157,7 @@ def nn_fill_balanced(images: DataFrame, chunk_px: int = 4096) -> DataFrame:
     n_chunks = F.ceil(F.col("gap_count") / chunk_px).cast("int")
     # explicit count → AQE won't coalesce this CPU-heavy tiny-byte shuffle
     sc = images.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism * 3, 8)
+    n_parts = max(sc.defaultParallelism * 8, 8)
     chunks = viable.withColumn(
         "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
     ).repartition(n_parts, "image_id", "chunk_id")
