@@ -1,0 +1,217 @@
+"""Export sinks: GeoTIFF (S9) and netCDF classic (S10).
+
+The reference reattaches georeferencing to turn .npy back into
+GeoTIFF via gdal (common_functions.py:6-32: geotransform
+``[minX, xRes, 0, maxY, 0, -yRes]`` + EPSG) and dumps the
+discretized stack as netCDF ``(time,row,col)`` float32 with 'S2'
+time labels (timeseries.py:335-374). No gdal/netCDF4 ships in this
+sandbox, so both writers are implemented from the public file-format
+specs (TIFF 6.0 + GeoTIFF 1.1 keys; NetCDF classic CDF-1) — minimal
+but real files, parseable by gdal/netCDF4 elsewhere.
+
+Spark usage: these are *export jobs* — encode per image inside a
+pandas UDF into a ``tif_bytes`` column, then write files from the
+driver or a foreachPartition sink. Not on the hot path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------ GeoTIFF
+
+_TIFF_TAGS = {
+    "ImageWidth": 256, "ImageLength": 257, "BitsPerSample": 258,
+    "Compression": 259, "Photometric": 262, "StripOffsets": 273,
+    "RowsPerStrip": 278, "StripByteCounts": 279,
+    "ModelPixelScale": 33550, "ModelTiepoint": 33922,
+    "GeoKeyDirectory": 34735, "SampleFormat": 339,
+}
+
+
+def encode_geotiff(matrix: np.ndarray, min_x: float, max_y: float,
+                   x_res: float, y_res: float, epsg: int) -> bytes:
+    """Single-band float32 GeoTIFF, little-endian, one strip — the
+    reconstruct_geotiff equivalent (common_functions.py:20-31:
+    geotransform [minX, xRes, 0, maxY, 0, -yRes], EPSG projection,
+    GDT_Float32)."""
+    m = np.ascontiguousarray(matrix, dtype="<f4")
+    h, w = m.shape
+    data = m.tobytes()
+
+    # layout: header(8) | IFD | doubles block | pixel data
+    n_entries = 12
+    ifd_off = 8
+    ifd_size = 2 + n_entries * 12 + 4
+    scale_off = ifd_off + ifd_size
+    tie_off = scale_off + 3 * 8
+    geokey_off = tie_off + 6 * 8
+    # GeoKeyDirectory: version 1.1.0, 3 keys:
+    # GTModelType=1 (projected), GTRasterType=1 (pixel-is-area),
+    # ProjectedCSType=epsg
+    geokeys = np.array([1, 1, 0, 3,
+                        1024, 0, 1, 1,
+                        1025, 0, 1, 1,
+                        3072, 0, 1, epsg], dtype="<u2")
+    data_off = geokey_off + geokeys.nbytes
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI4s", tag, typ, count, value)
+
+    def short_val(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_val(v):
+        return struct.pack("<I", v)
+
+    T = _TIFF_TAGS
+    entries = [
+        entry(T["ImageWidth"], 3, 1, short_val(w)),
+        entry(T["ImageLength"], 3, 1, short_val(h)),
+        entry(T["BitsPerSample"], 3, 1, short_val(32)),
+        entry(T["Compression"], 3, 1, short_val(1)),
+        entry(T["Photometric"], 3, 1, short_val(1)),
+        entry(T["StripOffsets"], 4, 1, long_val(data_off)),
+        entry(T["RowsPerStrip"], 3, 1, short_val(h)),
+        entry(T["StripByteCounts"], 4, 1, long_val(len(data))),
+        entry(T["ModelPixelScale"], 12, 3, long_val(scale_off)),
+        entry(T["ModelTiepoint"], 12, 6, long_val(tie_off)),
+        entry(T["GeoKeyDirectory"], 3, len(geokeys), long_val(geokey_off)),
+        entry(T["SampleFormat"], 3, 1, short_val(3)),
+    ]
+    out = [struct.pack("<2sHI", b"II", 42, ifd_off)]
+    out.append(struct.pack("<H", n_entries))
+    out.extend(entries)
+    out.append(struct.pack("<I", 0))  # next IFD
+    out.append(struct.pack("<3d", x_res, y_res, 0.0))
+    out.append(struct.pack("<6d", 0.0, 0.0, 0.0, min_x, max_y, 0.0))
+    out.append(geokeys.tobytes())
+    out.append(data)
+    return b"".join(out)
+
+
+def parse_geotiff(buf: bytes):
+    """Minimal reader for round-trip tests: returns (matrix, tags)."""
+    byte_order, magic, ifd_off = struct.unpack_from("<2sHI", buf, 0)
+    assert byte_order == b"II" and magic == 42
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    tags = {}
+    for i in range(n):
+        tag, typ, count, raw = struct.unpack_from("<HHI4s", buf, ifd_off + 2 + i * 12)
+        tags[tag] = (typ, count, raw)
+    w = struct.unpack("<HH", tags[256][2])[0]
+    h = struct.unpack("<HH", tags[257][2])[0]
+    (off,) = struct.unpack("<I", tags[273][2])
+    (nbytes,) = struct.unpack("<I", tags[279][2])
+    m = np.frombuffer(buf[off : off + nbytes], dtype="<f4").reshape(h, w)
+    (tie_off,) = struct.unpack("<I", tags[33922][2])
+    tie = struct.unpack_from("<6d", buf, tie_off)
+    (gk_off,) = struct.unpack("<I", tags[34735][2])
+    gk = np.frombuffer(buf, dtype="<u2", count=tags[34735][1], offset=gk_off)
+    epsg = int(gk[-1])
+    return m, {"min_x": tie[3], "max_y": tie[4], "epsg": epsg}
+
+
+# ------------------------------------------------------------ netCDF
+
+def encode_netcdf_stack(tensor: np.ndarray, timesteps: list[str]) -> bytes:
+    """NetCDF classic (CDF-1) with the reference's layout
+    (timeseries.py:358-372): dims (time,row,col), var 'time' as chars,
+    var 'matrices' float32."""
+    t, rows, cols = tensor.shape
+    ts_len = max(len(s) for s in timesteps)
+
+    def name(s):
+        b = s.encode()
+        pad = (4 - len(b) % 4) % 4
+        return struct.pack(">I", len(b)) + b + b"\x00" * pad
+
+    def pad4(b):
+        return b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+    out = [b"CDF\x01", struct.pack(">I", 0)]  # numrecs=0 (no record dim)
+    # dim_list
+    out.append(struct.pack(">II", 10, 3))  # NC_DIMENSION, 3 dims
+    for nm, ln in (("time", t), ("row", rows), ("col", cols), ):
+        out.append(name(nm) + struct.pack(">I", ln))
+    # extra dim for char length
+    # rebuild with 4 dims (time,row,col,strlen)
+    out = [b"CDF\x01", struct.pack(">I", 0),
+           struct.pack(">II", 10, 4)]
+    for nm, ln in (("time", t), ("row", rows), ("col", cols), ("strlen", ts_len)):
+        out.append(name(nm) + struct.pack(">I", ln))
+    out.append(struct.pack(">II", 0, 0))  # no global atts
+
+    time_data = pad4(b"".join(s.encode().ljust(ts_len, b"\x00" if False else b" ")
+                              if isinstance(s, str) else s for s in timesteps))
+    mat_data = np.ascontiguousarray(tensor, dtype=">f4").tobytes()
+
+    # var_list: 2 vars; offsets computed after measuring header
+    def var_header(nm, dims, nc_type, vsize, offset):
+        b = name(nm) + struct.pack(">I", len(dims))
+        for d in dims:
+            b += struct.pack(">I", d)
+        b += struct.pack(">II", 0, 0)  # no atts
+        b += struct.pack(">III", nc_type, vsize, offset)
+        return b
+
+    # measure header with dummy offsets
+    def build(time_off, mat_off):
+        vl = struct.pack(">II", 11, 2)  # NC_VARIABLE, 2 vars
+        vl += var_header("time", [0, 3], 2, len(time_data), time_off)  # NC_CHAR
+        vl += var_header("matrices", [0, 1, 2], 5, len(mat_data), mat_off)  # NC_FLOAT
+        return vl
+
+    base = b"".join(out)
+    hdr_len = len(base) + len(build(0, 0))
+    time_off = hdr_len
+    mat_off = time_off + len(time_data)
+    return base + build(time_off, mat_off) + time_data + mat_data
+
+
+def parse_netcdf_stack(buf: bytes):
+    """Round-trip reader for tests: returns (tensor, timesteps)."""
+    assert buf[:4] == b"CDF\x01"
+    pos = 8
+
+    def read_name():
+        nonlocal pos
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        nm = buf[pos : pos + ln].decode()
+        pos += ln + ((4 - ln % 4) % 4)
+        return nm
+
+    tag, ndims = struct.unpack_from(">II", buf, pos)
+    pos += 8
+    dims = []
+    for _ in range(ndims):
+        nm = read_name()
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        dims.append((nm, ln))
+    pos += 8  # empty gatts
+    tag, nvars = struct.unpack_from(">II", buf, pos)
+    pos += 8
+    vars_ = {}
+    for _ in range(nvars):
+        nm = read_name()
+        (nd,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        vdims = struct.unpack_from(f">{nd}I", buf, pos)
+        pos += 4 * nd
+        pos += 8  # empty atts
+        nc_type, vsize, offset = struct.unpack_from(">III", buf, pos)
+        pos += 12
+        vars_[nm] = (vdims, nc_type, vsize, offset)
+    t = dims[0][1]
+    rows, cols = dims[1][1], dims[2][1]
+    strlen = dims[3][1]
+    vd, _, vs, off = vars_["time"]
+    raw = buf[off : off + t * strlen]
+    steps = [raw[i * strlen : (i + 1) * strlen].decode().strip() for i in range(t)]
+    vd, _, vs, off = vars_["matrices"]
+    tensor = np.frombuffer(buf[off : off + t * rows * cols * 4], dtype=">f4")
+    return tensor.reshape(t, rows, cols).astype(np.float32), steps

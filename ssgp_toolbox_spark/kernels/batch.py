@@ -81,6 +81,63 @@ def _knn_fill_group(Xp, yp, xt, k: int, weights: str, seed: int):
     return pred, np.abs(fold_scores.mean(0))
 
 
+def _knn_coords_exact(cands: np.ndarray, blk: np.ndarray, k: int,
+                      shape: tuple[int, int]) -> np.ndarray:
+    """Exact k-nearest candidate coords for a spatially-tight block of
+    pixels, with (d², original-index) tie order (== np.argmin
+    first-index, gapfiller.py:519-530).
+
+    Memory-traffic design: candidates are prefiltered to the block's
+    bounding box + margin, so the (pixels × candidates) distance
+    matrix touches ~the local density instead of the whole raster —
+    this is what keeps 32 workers off the memory-bandwidth wall.
+    Exactness: a pixel's result is accepted only if its k-th distance
+    fits inside the box (sides clipped at the raster edge are always
+    safe); otherwise the margin doubles and the block retries."""
+    h, w = shape
+    n_c = len(cands)
+    # expected k-NN radius from candidate density, with headroom
+    rho = max(n_c / (h * w), 1e-9)
+    m = int(np.ceil(1.3 * np.sqrt(k / (np.pi * rho)))) + 2
+    while True:
+        r0 = max(int(blk[:, 0].min()) - m, 0)
+        r1 = min(int(blk[:, 0].max()) + m, h - 1)
+        c0 = max(int(blk[:, 1].min()) - m, 0)
+        c1 = min(int(blk[:, 1].max()) + m, w - 1)
+        box = ((cands[:, 0] >= r0) & (cands[:, 0] <= r1)
+               & (cands[:, 1] >= c0) & (cands[:, 1] <= c1))
+        idx = np.flatnonzero(box)  # ascending == original tie order
+        if len(idx) < min(k, n_c):
+            m *= 2
+            continue
+        local = cands[idx]
+        d2 = ((blk[:, None, :] - local[None, :, :]) ** 2).sum(-1)
+        key = d2.astype(np.int64) * n_c + idx[None, :].astype(np.int64)
+        kk = min(k, len(idx))
+        if len(idx) > kk:
+            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(len(idx)), (len(blk), len(idx))).copy()
+        topkeys = np.take_along_axis(key, part, axis=1)
+        order = np.take_along_axis(part, np.argsort(topkeys, axis=1), axis=1)[:, :kk]
+        if len(idx) == n_c:
+            return local[order]
+        # safety: k-th distance must fit inside the (unclipped) box
+        dk2 = np.take_along_axis(d2, order[:, -1:], axis=1)[:, 0]
+        side = np.full(len(blk), np.iinfo(np.int64).max, dtype=np.int64)
+        if r0 > 0:
+            side = np.minimum(side, blk[:, 0] - r0)
+        if r1 < h - 1:
+            side = np.minimum(side, r1 - blk[:, 0])
+        if c0 > 0:
+            side = np.minimum(side, blk[:, 1] - c0)
+        if c1 < w - 1:
+            side = np.minimum(side, c1 - blk[:, 1])
+        if (dk2 <= side * side).all():
+            return local[order]
+        m *= 2
+
+
 def _biome_coords_batched(final, extra, gaps, seed):
     """Predictor coords for all gap pixels under 'Biome' (reference
     gapfiller.py:500-586 semantics incl. first-index tie-break and the
@@ -94,24 +151,10 @@ def _biome_coords_batched(final, extra, gaps, seed):
         cands = np.argwhere(masked == code)
         if len(cands) > FR.BIOME_MIN:
             pts = gaps[sel]  # (s, 2)
-            n_c = len(cands)
-            # exact (d², index) composite key: pixel distances are
-            # integers, so key = d²·n + idx orders identically to the
-            # stable argsort — but argpartition + tiny sort is O(n)
-            # instead of O(n log n) full-matrix sort (the bandwidth hog)
-            step = max(1, int(8e6 // max(n_c, 1)))
-            k = FR.N_NEAREST
-            for lo in range(0, len(pts), step):
-                blk = pts[lo : lo + step]
-                d2 = ((blk[:, None, :] - cands[None, :, :]) ** 2).sum(-1)
-                key = d2.astype(np.int64) * n_c + np.arange(n_c, dtype=np.int64)
-                if n_c > k:
-                    part = np.argpartition(key, k - 1, axis=1)[:, :k]
-                else:
-                    part = np.broadcast_to(np.arange(n_c), (len(blk), n_c)).copy()
-                topkeys = np.take_along_axis(key, part, axis=1)
-                order = np.take_along_axis(part, np.argsort(topkeys, axis=1), axis=1)
-                out[sel[lo : lo + step], :-1] = cands[order[:, :k]]
+            for lo in range(0, len(pts), 128):
+                blk = pts[lo : lo + 128]
+                out[sel[lo : lo + 128], :-1] = _knn_coords_exact(
+                    cands, blk, FR.N_NEAREST, final.shape)
         else:
             for s in sel:
                 r, c = (int(v) for v in gaps[s])

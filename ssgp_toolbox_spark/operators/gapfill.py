@@ -212,12 +212,27 @@ def _bc_tensors(bc, site):
     return _BC_CACHE[key]
 
 
+_IMG_CACHE_MAX = 16  # decoded inputs kept per worker (FIFO evict)
+
+
+def _bc_image(bc, image_id):
+    gen = bc.value["gen"]
+    key = (gen, "img", image_id)
+    if key not in _BC_CACHE:
+        payload, h, w, fmt = bc.value["inputs"][image_id]
+        img_keys = [k for k in _BC_CACHE if len(k) == 3 and k[1] == "img"]
+        if len(img_keys) >= _IMG_CACHE_MAX:
+            del _BC_CACHE[img_keys[0]]
+        _BC_CACHE[key] = codecs.decode(payload, h, w, fmt)
+    return _BC_CACHE[key]
+
+
 def _chunk_fill_batches(bc, predictor_configuration, params, chunk_px):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in CHUNK_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
-                final = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                final = _bc_image(bc, row.image_id).copy()
                 tensor, extra = _bc_tensors(bc, row.site)
                 lo = int(row.chunk_id) * chunk_px
                 hi = lo + chunk_px
@@ -312,7 +327,18 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
         layers = [(l["ts"], bytes(l["bytes"]), int(l["h"]), int(l["w"]), l["fmt"])
                   for l in r["hist_layers"]]
         site_map[r["site"]] = (layers, extra_rows.get(r["site"]))
-    bc = sc.broadcast({"gen": uuid.uuid4().hex, "sites": site_map})
+    # input payloads ride the broadcast too: chunk rows are then pure
+    # (image_id, chunk_id) keys, so the chunk shuffle and the Arrow
+    # pipes carry ~50 bytes/task instead of a duplicated raster per
+    # chunk (a measured 3× JVM tax at 32 workers). One batch of inputs
+    # must fit the driver; at larger scale process input batches per
+    # snapshot (checkpoint.run_checkpointed(batch_rows=...)).
+    input_map = {
+        r["image_id"]: (bytes(r["bytes"]), int(r["h"]), int(r["w"]), r["fmt"])
+        for r in viable.select("image_id", "bytes", "h", "w", "fmt").collect()
+    }
+    bc = sc.broadcast({"gen": uuid.uuid4().hex, "sites": site_map,
+                       "inputs": input_map})
 
     n_chunks = F.ceil(F.col("gap_count") / chunk_px).cast("int")
     # explicit partition count: the chunk shuffle is tiny in BYTES but
@@ -321,10 +347,8 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
     n_parts = max(sc.defaultParallelism * 8, 8)
     chunks = viable.withColumn(
         "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
-    ).repartition(n_parts, "image_id", "chunk_id")
-    partials = chunks.select(
-        "image_id", "site", "chunk_id", "bytes", "w", "h", "fmt"
-    ).mapInPandas(
+    ).repartition(n_parts)  # round-robin: exact chunk-count balance
+    partials = chunks.select("image_id", "site", "chunk_id").mapInPandas(
         _chunk_fill_batches(bc, predictor_configuration, params, chunk_px),
         CHUNK_SCHEMA,
     )

@@ -160,7 +160,7 @@ def nn_fill_balanced(images: DataFrame, chunk_px: int = 4096) -> DataFrame:
     n_parts = max(sc.defaultParallelism * 8, 8)
     chunks = viable.withColumn(
         "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
-    ).repartition(n_parts, "image_id", "chunk_id")
+    ).repartition(n_parts)  # round-robin: exact chunk-count balance
     partials = chunks.select("image_id", "chunk_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(_nn_chunk_batches(chunk_px), _NN_CHUNK_SCHEMA)
     packed = partials.groupBy("image_id").agg(

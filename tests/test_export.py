@@ -1,0 +1,49 @@
+"""Export sink round trips (S9 GeoTIFF, S10 netCDF) + the export-job
+Spark pattern (encode per image in a pandas UDF)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssgp_toolbox_spark.io import export
+
+
+def test_geotiff_roundtrip():
+    m = np.random.default_rng(0).normal(290, 5, (20, 30)).astype(np.float32)
+    tif = export.encode_geotiff(m, 300000.0, 6200000.0, 1000.0, 1000.0, 32635)
+    back, tags = export.parse_geotiff(tif)
+    assert np.array_equal(back, m)
+    assert tags == {"min_x": 300000.0, "max_y": 6200000.0, "epsg": 32635}
+    assert tif[:4] == b"II\x2a\x00"  # little-endian TIFF magic
+
+
+def test_netcdf_roundtrip():
+    tensor = np.random.default_rng(1).normal(0, 1, (4, 6, 5)).astype(np.float32)
+    steps = [f"2019090{i}T060000" for i in range(1, 5)]
+    nc = export.encode_netcdf_stack(tensor, steps)
+    t2, s2 = export.parse_netcdf_stack(nc)
+    assert np.allclose(t2, tensor)
+    assert s2 == steps
+    assert nc[:4] == b"CDF\x01"
+
+
+def test_geotiff_export_udf(spark):
+    """The export-job shape: pandas UDF encodes tif bytes per row."""
+    import pandas as pd
+
+    from ssgp_toolbox_spark import codecs, generator
+
+    @F.pandas_udf(T.BinaryType())
+    def to_tif(payload: pd.Series, h: pd.Series, w: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for b, hh, ww, f in zip(payload, h, w, fmt):
+            m = codecs.decode(b, int(hh), int(ww), f)
+            out.append(export.encode_geotiff(m, 0.0, 0.0, 1000.0, 1000.0, 32635))
+        return pd.Series(out)
+
+    df = generator.images_df(spark, sites=("stp",), n_history=1, n_inputs=1)
+    rows = df.withColumn("tif", to_tif("bytes", "h", "w", "fmt")).select("image_id", "tif").collect()
+    for r in rows:
+        back, tags = export.parse_geotiff(bytes(r["tif"]))
+        assert back.shape == (109, 62) and tags["epsg"] == 32635
