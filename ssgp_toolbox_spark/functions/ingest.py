@@ -60,8 +60,11 @@ def scale_reflectance(raw: Column) -> Column:
 
 def ndvi(nir: Column, red: Column) -> Column:
     """NDVI with the reference's out-of-range→gap clamp
-    (MOD09GA:142-153)."""
-    v = (nir - red) / (nir + red)
+    (MOD09GA:142-153). A zero denominator (numpy would give nan/inf,
+    ANSI Spark would raise) becomes NULL and falls into the gap
+    branch, matching the reference's clamp outcome."""
+    denom = nir + red
+    v = (nir - red) / F.when(denom != 0, denom)
     return F.when(v.between(-1.0, 1.0), v).otherwise(F.lit(GAP))
 
 

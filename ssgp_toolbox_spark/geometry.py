@@ -119,6 +119,55 @@ def rasterize_zones(zone_rows: list[tuple[int, bytes]], h: int, w: int,
     return out
 
 
+# ------------------------------------------------------------ UTM (C4)
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1 / 298.257223563
+_K0 = 0.9996
+
+
+def utm_project(lon, lat, zone: int, south: bool = False):
+    """WGS84 → UTM (Transverse Mercator, Snyder series) — the
+    reference's pyproj reprojection (C4, S3_L2_LST.py:83-87) without
+    pyproj (not in this sandbox). Vectorized numpy; sub-mm agreement
+    with the standard series at mid-latitudes.
+
+    Returns (easting, northing) in meters."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    a, f, k0 = _WGS84_A, _WGS84_F, _K0
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    lam0 = np.deg2rad((zone - 1) * 6 - 180 + 3)
+    phi = np.deg2rad(lat)
+    lam = np.deg2rad(lon)
+    sin_p, cos_p, tan_p = np.sin(phi), np.cos(phi), np.tan(phi)
+    N = a / np.sqrt(1 - e2 * sin_p**2)
+    T = tan_p**2
+    C = ep2 * cos_p**2
+    A = (lam - lam0) * cos_p
+    e4, e6 = e2**2, e2**3
+    M = a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+        - (35 * e6 / 3072) * np.sin(6 * phi)
+    )
+    x = k0 * N * (
+        A + (1 - T + C) * A**3 / 6
+        + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120
+    ) + 500000.0
+    y = k0 * (
+        M + N * tan_p * (
+            A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+            + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720
+        )
+    )
+    if south:
+        y = y + 10_000_000.0
+    return x, y
+
+
 # ------------------------------------------------------------ Spark ops
 
 EXTRA_SCHEMA = T.StructType([

@@ -73,10 +73,18 @@ def snapshots(table_path: str) -> list[dict]:
     return out
 
 
-def load(spark: SparkSession, table_path: str) -> DataFrame:
+def load(spark: SparkSession, table_path: str,
+         as_of: str | None = None) -> DataFrame:
     """Union of all committed snapshots (uncommitted data dirs are
-    invisible — that is the resume guarantee)."""
+    invisible — that is the resume guarantee). ``as_of`` reads the
+    table as of a snapshot id — Iceberg-style time travel over the
+    manifest list (snapshot ids are time-ordered by construction)."""
     snaps = snapshots(table_path)
+    if as_of is not None:
+        keep = [s for s in snaps if s["snapshot_id"] <= as_of]
+        if not any(s["snapshot_id"] == as_of for s in snaps):
+            raise ValueError(f"unknown snapshot {as_of!r}")
+        snaps = keep
     if not snaps:
         raise FileNotFoundError(f"no committed snapshots under {table_path}")
     # each snapshot dir is partition-discovered independently, then
