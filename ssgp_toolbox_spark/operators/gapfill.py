@@ -368,6 +368,51 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
     return assembled.unionByName(pass_df)
 
 
+def gapfill_sequential(images: DataFrame, method: str = "Lasso",
+                       predictor_configuration: str = "Random",
+                       hyperparameters: str = "RandomGridSearch",
+                       params: dict | None = None,
+                       min_valid: int = 101) -> DataFrame:
+    """``add_outputs=True`` parity mode (gapfiller.py:788-790): layer
+    *i*'s filled output joins the training history of layer *i+1* — a
+    hard sequential dependency, so this is a **driver loop of one
+    Spark job per input timestamp** (SURVEY.md §3 EP1 note: "Spark
+    runs one job per input timestamp in that mode"), exactly like the
+    reference's per-file loop. Each iteration is itself fully
+    parallel across that timestamp's gap pixels via the balanced path
+    when applicable.
+
+    Returns the union of the per-timestamp fill results (ts order).
+    """
+    spark = images.sparkSession
+    inputs = images.filter(F.col("role") == "input")
+    ts_list = [r["ts"] for r in
+               inputs.select("ts").distinct().orderBy("ts").collect()]
+    extra_hist = images.filter(F.col("role") != "input")
+    results = []
+    grown = extra_hist
+    for ts in ts_list:
+        step_images = grown.unionByName(inputs.filter(F.col("ts") == ts))
+        out = gapfill(step_images, method=method,
+                      predictor_configuration=predictor_configuration,
+                      hyperparameters=hyperparameters, params=params,
+                      min_valid=min_valid)
+        rows = out.collect()  # materialize: next step depends on it
+        results.extend(rows)
+        if rows:
+            filled_df = spark.createDataFrame(rows, GAPFILL_SCHEMA)
+            from ssgp_toolbox_spark.io.images import with_id_parts
+
+            feedback = with_id_parts(
+                filled_df.select("image_id", "bytes", "w", "h", "fmt",
+                                 "caption", "phash")
+            ).withColumn("role", F.lit("history"))
+            from ssgp_toolbox_spark.operators.stats import with_stats
+
+            grown = grown.unionByName(with_stats(feedback), allowMissingColumns=True)
+    return spark.createDataFrame(results, GAPFILL_SCHEMA)
+
+
 def fill_metrics(filled: DataFrame) -> DataFrame:
     """Per-image fill metrics + per-partition lineage (north_rule):
     which Spark partition produced each row, for resumable audit.

@@ -94,3 +94,43 @@ def test_fill_metrics_lineage(spark, images):
     assert {"image_id", "status", "filled_px", "mean_cv_mae", "partition_id",
             "computed_at"} <= set(m.columns)
     assert all(r["partition_id"] >= 0 for r in rows)
+
+
+def test_lasso_kernel_on_spark(spark):
+    """Non-batched dispatch path (Lasso/Custom is deterministic CD):
+    Spark result == local kernel."""
+    df = generator.images_df(spark, sites=("stp",), n_history=5, n_inputs=1)
+    images = stats.with_stats(img_io.with_id_parts(df)).cache()
+    rows = images.collect()
+    expected = _local_oracle(rows, "Lasso", "Random", "Custom", {"alpha": 1.0})
+    got = gapfill.gapfill(images, method="Lasso",
+                          predictor_configuration="Random",
+                          hyperparameters="Custom", params={"alpha": 1.0}).collect()
+    for r in got:
+        if r["status"] != "filled":
+            continue
+        exp_m, _ = expected[r["image_id"]]
+        m = codecs.decode(bytes(r["bytes"]), r["h"], r["w"], r["fmt"])
+        assert np.allclose(m, exp_m, equal_nan=True)
+
+
+def test_gridsearch_mode_smoke(spark):
+    """RandomGridSearch mode end-to-end on a tiny image (envelope
+    check only — stochastic search, FIXTURES.md §4)."""
+    import pandas as pd
+
+    small = generator.make_layer("gs", 20, 16, 9, "input", 0.1)
+    rows = [generator.image_row("gs", "input", "20190910T000000", small,
+                                codecs.FMT_F64, 10)]
+    rows += generator.site_rows("gs", n_history=5, n_inputs=0, shape=(20, 16))
+    df = spark.createDataFrame(rows, schema=generator.IMAGE_COLUMNS)
+    images = stats.with_stats(img_io.with_id_parts(df))
+    got = gapfill.gapfill(images, method="Knn",
+                          predictor_configuration="Random",
+                          hyperparameters="RandomGridSearch",
+                          min_valid=50).collect()
+    assert len(got) == 1 and got[0]["status"] == "filled"
+    m = codecs.decode(bytes(got[0]["bytes"]), 20, 16, codecs.FMT_F64)
+    assert (m == -100.0).sum() == 0
+    # values within the physical range of the synthetic field
+    assert 250 < np.median(m[m > -50]) < 330
