@@ -170,7 +170,8 @@ def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
                    predictor_configuration: str = "Biome",
                    hyperparameters: str = "Custom",
                    params: dict | None = None, seed: int = 0,
-                   gap_slice: tuple[int, int] | None = None):
+                   gap_slice: tuple[int, int] | None = None,
+                   gap_subset: np.ndarray | None = None):
     """Batched equivalent of frame.fill_image(method='Knn', ...).
     Custom mode only (the grid-search modes go through the generic
     path). Returns (filled, scores) with scores in gap scan order.
@@ -191,6 +192,8 @@ def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
     gaps = np.argwhere(final == GAP)
     if gap_slice is not None:
         gaps = gaps[gap_slice[0] : gap_slice[1]]
+    if gap_subset is not None:  # explicit (r, c) targets (tiled path)
+        gaps = np.asarray(gap_subset, dtype=np.int64)
     filled = final.copy()
     P = len(gaps)
     if P == 0:
