@@ -351,6 +351,57 @@ def r04_cellular_expand(spark, sf):
     return out.select("image_id", "expanded_px").orderBy("image_id")
 
 
+def r06_tiled_gapfill(spark, sf):
+    """10^12-scale path: cell co-partitioned halo-window kNN fill."""
+    from ssgp_toolbox_spark.operators import tiled_gapfill
+
+    out = tiled_gapfill.tiled_gapfill(_images(spark), tile=40, halo=30,
+                                      params={"n_neighbors": 5})
+    return out.select("image_id", "status", "filled_px").orderBy("image_id")
+
+
+def r07_sequential_fill(spark, sf):
+    """add_outputs=True chaining (driver loop of Spark jobs)."""
+    from ssgp_toolbox_spark.operators import gapfill as gf
+
+    out = gf.gapfill_sequential(_images(spark, n_history=4, n_inputs=2),
+                                method="Knn",
+                                predictor_configuration="Random",
+                                hyperparameters="Custom",
+                                params={"n_neighbors": 5})
+    return out.select("image_id", "status", "filled_px").orderBy("image_id")
+
+
+def r08_phash_dedup(spark, sf):
+    """Perceptual-hash near-dup detection on the image table (the
+    input_hint's phash column): hamming-close pairs. The corpus gets
+    two planted near-duplicates (tiny valid-pixel perturbations) that
+    the DCT hash must recover."""
+    import numpy as np
+
+    from ssgp_toolbox_spark import codecs as cx
+    from ssgp_toolbox_spark import generator as gen
+    from ssgp_toolbox_spark.sentinels import is_valid
+
+    base = gen.make_layer("stp", 109, 62, 3, "history", 0.02)
+    near = base.copy()
+    near[is_valid(near)] += 0.01
+    rows = [
+        gen.image_row("stp", "input", "20300101T000000", base, cx.FMT_F64, 0),
+        gen.image_row("stp", "input", "20300101T120000", near, cx.FMT_F64, 0),
+    ]
+    extra_df = spark.createDataFrame(rows, _images(spark).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash").schema)
+    imgs = _images(spark).select("image_id", "phash").unionByName(
+        extra_df.select("image_id", "phash"))
+    a = imgs.select(F.col("image_id").alias("ia"), F.col("phash").alias("pa"))
+    b = imgs.select(F.col("image_id").alias("ib"), F.col("phash").alias("pb"))
+    pairs = (a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+             .withColumn("hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
+             .filter(F.col("hamming") <= 8))
+    return pairs.select("ia", "ib", "hamming").orderBy("ia", "ib")
+
+
 def r05_multimodal_features(spark, sf):
     from ssgp_toolbox_spark.functions import multimodal
 
@@ -436,6 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r03_discretize_weighted": r03_discretize_weighted,
         "r04_cellular_expand": r04_cellular_expand,
         "r05_multimodal_features": r05_multimodal_features,
+        "r06_tiled_gapfill": r06_tiled_gapfill,
+        "r07_sequential_fill": r07_sequential_fill,
+        "r08_phash_dedup": r08_phash_dedup,
     }
 
 
