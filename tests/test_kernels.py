@@ -148,3 +148,43 @@ def test_fill_accuracy_envelope():
                               params={"alpha": 0.1}, seed=5)
     mae = np.abs(filled[10:18, 10:18] - truth[10:18, 10:18]).mean()
     assert mae < 2.0, mae
+
+
+def test_tree_split_matches_naive():
+    """Vectorized variance-reduction split == naive per-threshold scan."""
+    from ssgp_toolbox_spark.kernels.regressors import _Tree
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(40, 6))
+    y = (X[:, 2] > 0.3).astype(float) * 5 + rng.normal(scale=0.1, size=40)
+    tree = _Tree(max_depth=1, min_samples_split=2).fit(X, y)
+    f, thr, l, r = tree.nodes[0]
+    # naive best split search
+    best = None
+    n = len(y)
+    parent = y.var() * n
+    for fi in range(6):
+        xs = np.sort(np.unique(X[:, fi]))
+        for a, b in zip(xs[:-1], xs[1:]):
+            t = (a + b) / 2
+            m = X[:, fi] <= t
+            gain = parent - (y[m].var() * m.sum() + y[~m].var() * (~m).sum())
+            if best is None or gain > best[0] + 1e-12:
+                best = (gain, fi, t)
+    assert f == best[1]
+    assert abs(thr - best[2]) < 1e-9
+
+
+def test_forest_deterministic_and_learns():
+    from ssgp_toolbox_spark.kernels.regressors import ForestRegressor
+
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(80, 4))
+    y = 3 * X[:, 0] - 2 * X[:, 1] + rng.normal(scale=0.1, size=80)
+    for mode in ("rf", "et"):
+        m1 = ForestRegressor(n_estimators=15, max_depth=6, mode=mode, seed=3).fit(X, y)
+        m2 = ForestRegressor(n_estimators=15, max_depth=6, mode=mode, seed=3).fit(X, y)
+        p1, p2 = m1.predict(X[:10]), m2.predict(X[:10])
+        assert np.array_equal(p1, p2)  # seeded determinism
+        mae = np.abs(m1.predict(X) - y).mean()
+        assert mae < 1.0, (mode, mae)
