@@ -1,0 +1,78 @@
+"""Streaming Discretizator: the watermarked tumbling-window bucket
+assignment must land the same layers on the same grid as the batch
+operator ('None' averaging)."""
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssgp_toolbox_spark import codecs
+from ssgp_toolbox_spark.streaming import discretize_stream
+
+H, W = 6, 5
+
+SCHEMA = T.StructType([
+    T.StructField("site", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+])
+
+
+def _mk(seed):
+    return 290 + np.random.default_rng(seed).normal(0, 3, (H, W))
+
+
+def _rows():
+    stamps = [
+        datetime(2019, 9, 1, 1, 0), datetime(2019, 9, 1, 5, 0),
+        datetime(2019, 9, 1, 13, 0), datetime(2019, 9, 2, 2, 0),
+        datetime(2019, 9, 2, 3, 30),
+    ]
+    return [("s1", t, codecs.encode(_mk(i), codecs.FMT_F64), H, W, codecs.FMT_F64)
+            for i, t in enumerate(stamps)]
+
+
+def test_streaming_buckets_equal_batch(spark, tmp_path):
+    rows = _rows()
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # two file drops = two micro-batches
+    spark.createDataFrame(rows[:3], SCHEMA).write.parquet(src + "/part1")
+    spark.createDataFrame(rows[3:], SCHEMA).write.parquet(src + "/part2")
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "recursiveFileLookup", "true").parquet(src)
+    out = discretize_stream.streaming_bucket_assign(stream, "12H")
+    q = (out.writeStream.format("memory").queryName("grid_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["site"], r["bucket_start"]): (bytes(r["bytes"]), r["n_layers"])
+           for r in spark.sql("select * from grid_stream").collect()}
+
+    # expected, computed in plain python: bucket by 12h windows from
+    # the epoch, nearest-to-centroid pick, earliest wins ties
+    from collections import defaultdict
+
+    exp = {}
+
+    buckets = defaultdict(list)
+    for site, ts, payload, h, w, fmt in rows:
+        epoch = datetime(1970, 1, 1)
+        b = int((ts - epoch).total_seconds() // 43200)
+        buckets[(site, b)].append((ts, payload))
+    for (site, b), layers in buckets.items():
+        start = datetime(1970, 1, 1).timestamp() + b * 43200
+        centroid = start + 21600
+        best = min(layers, key=lambda x: (abs(x[0].timestamp() - centroid),
+                                          x[0].timestamp()))
+        key = (site, datetime.utcfromtimestamp(start))
+        exp[key] = (bytes(best[1]), len(layers))
+
+    assert got == exp
