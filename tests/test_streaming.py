@@ -76,3 +76,44 @@ def test_streaming_buckets_equal_batch(spark, tmp_path):
         exp[key] = (bytes(best[1]), len(layers))
 
     assert got == exp
+
+
+def test_stateful_phash_dedup(spark, tmp_path):
+    """applyInPandasWithState: state (seen phashes) persists across
+    micro-batches; re-delivered and hamming-close images flagged."""
+    from ssgp_toolbox_spark.streaming import dedup_stream
+
+    schema = T.StructType([
+        T.StructField("site", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ])
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1)
+    # batch 1: two distinct images
+    spark.createDataFrame([
+        ("s1", t0, "img-a", 1000), ("s1", t0, "img-b", 2000),
+    ], schema).coalesce(1).write.parquet(src + "/b1")
+    # batch 2: exact redelivery of img-a + near-dup of b (hamming 1) + new
+    spark.createDataFrame([
+        ("s1", t0, "img-a2", 1000), ("s1", t0, "img-b2", 2001),
+        ("s1", t0, "img-c", 5000),
+    ], schema).coalesce(1).write.parquet(src + "/b2")
+
+    # one file per trigger -> the two drops really are two
+    # micro-batches, so state persistence across batches is exercised
+    stream = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = dedup_stream.streaming_phash_dedup(
+        stream.withWatermark("ts", "1 hour"), hamming_radius=2)
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["image_id"]: r["is_new"]
+           for r in spark.sql("select * from dedup_stream").collect()}
+    assert got["img-a"] and got["img-b"] and got["img-c"]
+    assert not got["img-a2"]          # exact redelivery dropped
+    assert not got["img-b2"]          # hamming-1 near-dup dropped
