@@ -149,12 +149,17 @@ def fill_image(final: np.ndarray, tensor: np.ndarray,
                extra: np.ndarray | None = None, method: str = "Knn",
                predictor_configuration: str = "Random",
                hyperparameters: str = "Custom", params: dict | None = None,
-               seed: int = 0):
+               seed: int = 0, gap_slice: tuple[int, int] | None = None):
     """Fill every gap pixel of ``final`` using the temporal stack
     ``tensor``; returns (filled matrix, list of |CV-MAE| scores).
     Equivalent of the reference's per-image ``__learning_and_fill``
-    loop (gapfiller.py:600-781) minus the IO."""
+    loop (gapfiller.py:600-781) minus the IO. ``gap_slice=(lo, hi)``
+    fills only that positional range of the row-major gap scan
+    (chunked operators) — per-pixel seeding keeps results identical
+    to the whole-image fill."""
     gaps = np.argwhere(final == GAP)
+    if gap_slice is not None:
+        gaps = gaps[gap_slice[0] : gap_slice[1]]
     filled = final.copy()
     scores: list[float] = []
     for r, c in gaps:

@@ -95,12 +95,11 @@ def _fill_kernel(final, tensor, extra, method, predictor_configuration,
             hyperparameters=hyperparameters, params=params, seed=seed,
             gap_slice=gap_slice,
         )
-    if gap_slice is not None:
-        raise ValueError("gap_slice is only supported on the batched Knn path")
     return frame_kernel.fill_image(
         final, tensor, extra=extra, method=method,
         predictor_configuration=predictor_configuration,
         hyperparameters=hyperparameters, params=params, seed=seed,
+        gap_slice=gap_slice,
     )
 
 
@@ -227,7 +226,8 @@ def _bc_image(bc, image_id):
     return _BC_CACHE[key]
 
 
-def _chunk_fill_batches(bc, predictor_configuration, params, chunk_px):
+def _chunk_fill_batches(bc, method, predictor_configuration,
+                        hyperparameters, params, chunk_px):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in CHUNK_SCHEMA.fieldNames()}
@@ -238,8 +238,8 @@ def _chunk_fill_batches(bc, predictor_configuration, params, chunk_px):
                 hi = lo + chunk_px
                 gaps = np.argwhere(final == GAP)[lo:hi]
                 filled, scores = _fill_kernel(
-                    final, tensor, extra, "Knn", predictor_configuration,
-                    "Custom", params, seed=_stable_seed(row.image_id),
+                    final, tensor, extra, method, predictor_configuration,
+                    hyperparameters, params, seed=_stable_seed(row.image_id),
                     gap_slice=(lo, hi),
                 )
                 changed = filled[gaps[:, 0], gaps[:, 1]]
@@ -285,8 +285,9 @@ def _assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
                      params: dict | None = None, min_valid: int = 101,
-                     chunk_px: int = 512) -> DataFrame:
-    """Skew-balanced gapfill (Knn/Custom): each viable image's gap
+                     chunk_px: int = 512, method: str = "Knn",
+                     hyperparameters: str = "Custom") -> DataFrame:
+    """Skew-balanced gapfill: each viable image's gap
     scan is split into ``chunk_px``-pixel chunks that fill as
     independent tasks (the salting of the north_rule — a 96%-gap image
     no longer serializes the stage), then chunks are reassembled per
@@ -349,7 +350,8 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
         "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
     ).repartition(n_parts)  # round-robin: exact chunk-count balance
     partials = chunks.select("image_id", "site", "chunk_id").mapInPandas(
-        _chunk_fill_batches(bc, predictor_configuration, params, chunk_px),
+        _chunk_fill_batches(bc, method, predictor_configuration,
+                            hyperparameters, params, chunk_px),
         CHUNK_SCHEMA,
     )
     packed = partials.groupBy("image_id").agg(

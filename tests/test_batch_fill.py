@@ -96,3 +96,23 @@ def test_balanced_operator_bit_equals_plain(spark):
         images, predictor_configuration="Biome",
         params={"n_neighbors": 5}, chunk_px=300).collect()}
     assert plain == bal
+
+
+def test_balanced_lasso_bit_equals_plain(spark):
+    """The chunked path now covers all kernels: Lasso/Custom chunked
+    == whole-image (per-pixel seeds + shared CV fold rule)."""
+    from pyspark.sql import functions as F
+
+    from ssgp_toolbox_spark.io import images as img_io
+    from ssgp_toolbox_spark.operators import gapfill, stats
+
+    images = stats.with_stats(img_io.with_id_parts(
+        generator.images_df(spark, sites=("stp",), n_history=4, n_inputs=1)
+    )).cache()
+    plain = {r["image_id"]: bytes(r["bytes"]) for r in gapfill.gapfill(
+        images, method="Lasso", predictor_configuration="Biome",
+        hyperparameters="Custom", params={"alpha": 1.0}).collect()}
+    bal = {r["image_id"]: bytes(r["bytes"]) for r in gapfill.gapfill_balanced(
+        images, predictor_configuration="Biome", params={"alpha": 1.0},
+        method="Lasso", chunk_px=150).collect()}
+    assert plain == bal
