@@ -1,0 +1,175 @@
+"""Generate the DuckDB oracle fixtures for the raster queries r01-r08.
+
+Every expected value here is computed by the NAIVE numpy oracles in
+tests/oracles.py (per-pixel loop transcriptions of the reference
+semantics, bit-parity-tested against the engine kernels in
+tests/test_raster_fixtures.py) — never by the Spark operators. The
+only engine imports are the deterministic corpus *definition*
+(generator.py: the same input rows the Spark queries consume) — the
+expected TRANSFORMATION of that corpus is oracle-only.
+
+Output: /root/repo/fixtures/rXX_expected.parquet, read by
+__spark_entry__.oracle_sql() via DuckDB read_parquet(). Rerun with
+    python scripts/make_raster_fixtures.py
+(idempotent — everything is seeded)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import oracles  # noqa: E402
+from ssgp_toolbox_spark import generator  # noqa: E402  (corpus definition only)
+
+OUT = os.path.join(REPO, "fixtures")
+SITE, H, W = "stp", 109, 62
+GAP = oracles.GAP
+
+
+def corpus(n_history, n_inputs):
+    """The deterministic image matrices the raster queries consume
+    (mirrors generator.site_rows for site 'stp', fmt npy-f64 —
+    lossless, so decoded payload == these matrices exactly)."""
+    hist = [(f"{SITE}/history/{generator.layer_ts(t)}",
+             generator.make_layer(SITE, H, W, t, "history", 0.02))
+            for t in range(n_history)]
+    inputs = []
+    for k in range(n_inputs):
+        t = n_history + k
+        frac = generator.GAP_LADDER[k % len(generator.GAP_LADDER)]
+        inputs.append((f"{SITE}/input/{generator.layer_ts(t)}",
+                       generator.make_layer(SITE, H, W, t, "input", frac)))
+    codes = generator.zone_raster(SITE, H, W).astype(np.float64)
+    extra = (f"{SITE}/extra/{generator.layer_ts(0)}", codes)
+    return hist, inputs, extra
+
+
+def write(name, cols):
+    os.makedirs(OUT, exist_ok=True)
+    pq.write_table(pa.table(cols), os.path.join(OUT, f"{name}.parquet"))
+    n = len(next(iter(cols.values())))
+    print(f"{name}: {n} rows")
+
+
+def main():
+    hist, inputs, extra = corpus(6, 2)
+    tensor = np.stack([m for _, m in hist])
+    codes = extra[1]
+
+    # ---- r01: NN interpolation fill
+    rows = {"image_id": [], "status": [], "filled_px": [], "phash": []}
+    for iid, m in inputs:
+        filled, status = oracles.nn_fill_fast_oracle(m)
+        rows["image_id"].append(iid)
+        rows["status"].append(status)
+        rows["filled_px"].append(int((m == GAP).sum()) if status == "filled" else 0)
+        rows["phash"].append(oracles.phash64_oracle(filled))
+    write("r01_expected", rows)
+
+    # ---- r02: Knn/Biome/Custom gapfill
+    rows = {"image_id": [], "status": [], "filled_px": [],
+            "mean_cv_mae_raw": [], "phash": []}
+    for iid, m in inputs:
+        filled, scores = oracles.gapfill_image_oracle(
+            m, tensor, codes, oracles.stable_seed(iid), k=5)
+        rows["image_id"].append(iid)
+        rows["status"].append("filled")
+        rows["filled_px"].append(int((m == GAP).sum()))
+        rows["mean_cv_mae_raw"].append(float(np.mean(scores)))
+        rows["phash"].append(oracles.phash64_oracle(filled))
+    write("r02_expected", rows)
+
+    # ---- r03: Discretizator grid (n_history=8, 12H, no collisions):
+    # start = midnight of min ts (2019-09-01), end = midnight after max
+    # ts + 1 day → 8 buckets, exactly one layer each (timeseries.py:73-101)
+    import datetime as dt
+
+    hist8, _, _ = corpus(8, 0)
+    times = [dt.datetime.strptime(i.split("/")[-1], "%Y%m%dT%H%M%S")
+             for i, _ in hist8]
+    start = dt.datetime(times[0].year, times[0].month, times[0].day)
+    end = dt.datetime(times[-1].year, times[-1].month, times[-1].day) + dt.timedelta(days=1)
+    step = dt.timedelta(hours=12)
+    n_buckets = int((end - start) / step)
+    rows = {"site": [], "bucket": [], "n_layers": [], "centroid_s": []}
+    for b in range(n_buckets):
+        lo, hi = start + b * step, start + (b + 1) * step
+        n = sum(1 for t in times if lo <= t < hi)
+        if b == n_buckets - 1 and n == 0:  # trailing empty bucket dropped
+            continue
+        centroid = lo + step / 2
+        rows["site"].append(SITE)
+        rows["bucket"].append(b)
+        rows["n_layers"].append(n)
+        rows["centroid_s"].append(centroid.strftime("%Y%m%dT%H%M%S"))
+    write("r03_expected", rows)
+
+    # ---- r04: cellular cloud expansion, 2 iterations
+    rows = {"image_id": [], "expanded_px": [], "phash": []}
+    for iid, m in inputs:
+        expanded = oracles.cellular_expand_oracle(
+            m, codes, 2, oracles.stable_seed(iid))
+        rows["image_id"].append(iid)
+        rows["expanded_px"].append(int((expanded == GAP).sum() - (m == GAP).sum()))
+        rows["phash"].append(oracles.phash64_oracle(expanded))
+    write("r04_expected", rows)
+
+    # ---- r05: multimodal features (all 9 images)
+    rows = {"image_id": [], "fmt": [], "n_bytes": [], "mean_px_raw": []}
+    for iid, m in hist + inputs + [extra]:
+        rows["image_id"].append(iid)
+        rows["fmt"].append("npy-f64")
+        rows["n_bytes"].append(int(m.size * 8))
+        rows["mean_px_raw"].append(float(m.mean()))
+    write("r05_expected", rows)
+
+    # ---- r06: tiled gapfill (counts; value parity is pytest-proven)
+    rows = {"image_id": [], "status": [], "filled_px": []}
+    for iid, m in inputs:
+        rows["image_id"].append(iid)
+        rows["status"].append("filled")
+        rows["filled_px"].append(int((m == GAP).sum()))
+    write("r06_expected", rows)
+
+    # ---- r07: sequential add_outputs fill (Knn/Random/Custom)
+    hist4, inputs4, _ = corpus(4, 2)
+    res = oracles.sequential_gapfill_oracle(
+        inputs4, np.stack([m for _, m in hist4]), oracles.stable_seed, k=5)
+    rows = {"image_id": [], "status": [], "filled_px": [],
+            "mean_cv_mae_raw": [], "phash": []}
+    for (iid, m), (_, filled, scores) in zip(inputs4, res):
+        rows["image_id"].append(iid)
+        rows["status"].append("filled")
+        rows["filled_px"].append(int((m == GAP).sum()))
+        rows["mean_cv_mae_raw"].append(float(np.mean(scores)))
+        rows["phash"].append(oracles.phash64_oracle(filled))
+    write("r07_expected", rows)
+
+    # ---- r08: per-image perceptual hashes (the pair join + hamming
+    # filter runs in DuckDB SQL itself, brute-force — independently
+    # re-deriving what the engine does with the banded LSH join)
+    base = generator.make_layer(SITE, H, W, 3, "history", 0.02)
+    near = base.copy()
+    valid = (near != GAP) & (near != oracles.SKIP) & (near != oracles.NODATA)
+    near[valid] += 0.01
+    all_imgs = hist + inputs + [extra] + [
+        (f"{SITE}/input/20300101T000000", base),
+        (f"{SITE}/input/20300101T120000", near),
+    ]
+    rows = {"image_id": [], "phash": []}
+    for iid, m in all_imgs:
+        rows["image_id"].append(iid)
+        rows["phash"].append(oracles.phash64_oracle(m))
+    write("r08_phash", rows)
+
+
+if __name__ == "__main__":
+    main()

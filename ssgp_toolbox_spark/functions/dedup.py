@@ -102,6 +102,45 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 3, n_hashes: int = 16,
     )
 
 
+def hamming_pairs(df: DataFrame, id_col: str = "image_id",
+                  hash_col: str = "phash", max_dist: int = 8) -> DataFrame:
+    """Near-dup pairs by 64-bit-hash Hamming distance ≤ ``max_dist``
+    WITHOUT a cross join: the hash is split into ``max_dist + 1``
+    disjoint bit bands — by pigeonhole, two hashes within ``max_dist``
+    share at least one exact band — candidates come from an equi-join
+    on (band, chunk), then the exact Hamming filter runs on candidates
+    only. Shuffle key = (band, chunk): linear in corpus size at 10^12
+    rows (same structure as minhash_lsh_candidates), vs the O(n²)
+    pair enumeration a crossJoin would cost.
+
+    Returns (a, b, hamming) with a < b."""
+    n_bands = max_dist + 1
+    base, rem = divmod(64, n_bands)
+    bands, off = [], 0
+    for b in range(n_bands):
+        wid = base + (1 if b < rem else 0)
+        mask = (1 << wid) - 1
+        bands.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(hash_col), off)
+             .bitwiseAND(F.lit(mask)).alias("chunk")))
+        off += wid
+    buckets = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("hash"),
+        F.explode(F.array(*bands)).alias("bb"),
+    ).select("id", "hash", "bb.band", "bb.chunk")
+    x, y = buckets.alias("x"), buckets.alias("y")
+    return (
+        x.join(y, ["band", "chunk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                F.bit_count(F.col("x.hash").bitwiseXOR(F.col("y.hash")))
+                 .cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     """60-bit SimHash over distinct word tokens: bit b set iff the
     ±1-weighted sum of token-hash bits at position b is positive.

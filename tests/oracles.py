@@ -169,3 +169,272 @@ def discretize_oracle(matrices_dict, timestep_hours=12, averaging="None",
                 s = gap_process(s)
             tensor[:, r, c] = s
     return tensor, centroids
+
+
+# ---------------------------------------------------------------------
+# Full-pipeline naive oracles (round 2). These transcribe the engine's
+# *documented determinism spec* (seeding scheme) plus the reference
+# semantics with deliberately-naive loops, and are the source of the
+# DuckDB fixture parquet for the r01-r08 contract checks
+# (scripts/make_raster_fixtures.py). They import nothing from
+# ssgp_toolbox_spark.kernels/operators.
+# ---------------------------------------------------------------------
+
+
+def pixel_rng(seed, r, c):
+    """Determinism spec: per-(image, pixel) RNG (kernels/frame.py:44)."""
+    return np.random.default_rng(
+        (seed * 1_000_003 + r * 8191 + c) % (2**63 - 1)
+    )
+
+
+def cv_seed(seed, n_train):
+    """Determinism spec: CV fold seed (kernels/frame.py:52)."""
+    return (seed * 2_654_435_761 + n_train * 97) % (2**63 - 1)
+
+
+def stable_seed(image_id):
+    import zlib
+
+    return zlib.crc32(image_id.encode()) & 0x7FFFFFFF
+
+
+def _knn_predict_uniform(X, y, Xt, k):
+    """Naive uniform-weight kNN regression ordered by (squared
+    distance, train index) — the sklearn KNeighborsRegressor contract
+    the reference relies on (gapfiller.py:300-340)."""
+    preds = []
+    X = np.asarray(X, float)
+    y = np.asarray(y, float).ravel()
+    kk = min(k, len(X))
+    for x in np.asarray(Xt, float):
+        d2 = [(float(((x - xi) ** 2).sum()), i) for i, xi in enumerate(X)]
+        d2.sort()
+        preds.append(float(np.mean(np.array([y[i] for _, i in d2[:kk]]))))
+    return np.array(preds)
+
+
+def _kfold(n, k, rng):
+    perm = rng.permutation(n)
+    sizes = np.full(k, n // k)
+    sizes[: n % k] += 1
+    folds, pos = [], 0
+    for s in sizes:
+        folds.append(perm[pos : pos + s])
+        pos += s
+    return folds
+
+
+def _knn_cv_then_fill(X_train, y_train, X_test, k, seed):
+    """Custom-hyperparameter kNN: 3-fold shuffled CV neg-MAE score,
+    then predict (reference gapfiller.py:300-340 with the no-CV
+    train-MAE fallback of :737-739). Returns (prediction, |score|)."""
+    n = len(y_train)
+    cv = 3
+    if n < cv:
+        pred = _knn_predict_uniform(X_train, y_train, X_test, k)
+        train_pred = _knn_predict_uniform(X_train, y_train, X_train, k)
+        score = float(np.mean(np.abs(train_pred - y_train)))
+        return float(pred[0]), abs(score)
+    rng = np.random.default_rng(seed)
+    scores = []
+    for fold in _kfold(n, cv, rng):
+        mask = np.ones(n, dtype=bool)
+        mask[fold] = False
+        p = _knn_predict_uniform(X_train[mask], y_train[mask], X_train[fold], k)
+        scores.append(-float(np.mean(np.abs(p - y_train[fold]))))
+    pred = _knn_predict_uniform(X_train, y_train, X_test, k)
+    return float(pred[0]), abs(float(np.mean(scores)))
+
+
+def _k_nearest_first_index(coords, target, k):
+    """40×argmin with first-index tie-break (gapfiller.py:519-530)."""
+    coords = np.asarray(coords, float)
+    d = np.sqrt(((coords - np.asarray(target, float)) ** 2).sum(axis=1))
+    picked = []
+    d = d.copy()
+    for _ in range(min(k, len(coords))):
+        i = int(np.argmin(d))
+        picked.append(coords[i])
+        d[i] = np.inf
+    return np.array(picked)
+
+
+def gapfill_image_oracle(final, tensor, extra, seed, k=5,
+                         predictor_configuration="Biome"):
+    """Naive per-pixel transcription of the full gapfill dataflow
+    (gapfiller.py:600-781) for method='Knn', hyperparameters='Custom':
+    predictor selection → frame build → clean_frame_oracle → 3-fold CV
+    + kNN fill. Returns (filled matrix, list of |CV-MAE| scores)."""
+    final = np.asarray(final, float)
+    filled = final.copy()
+    scores = []
+    for r, c in np.argwhere(final == GAP):
+        r, c = int(r), int(c)
+        rng = pixel_rng(seed, r, c)
+        if predictor_configuration == "Biome":
+            code = extra[r, c]
+            masked = np.where(final == GAP, GAP, extra)
+            cands = np.argwhere(masked == code)
+            if len(cands) > 41:
+                sel = _k_nearest_first_index(cands, (r, c), 40)
+            else:
+                valid = np.argwhere(
+                    (final != GAP) & (final != SKIP) & (final != NODATA))
+                chosen = valid[rng.permutation(len(valid))[:101]]
+                sel = _k_nearest_first_index(chosen, (r, c), 40)
+            coords = np.vstack([sel.astype(int), [(r, c)]])
+        elif predictor_configuration == "Random":
+            valid = np.argwhere(
+                (final != GAP) & (final != SKIP) & (final != NODATA))
+            chosen = valid[rng.permutation(len(valid))[:101]]
+            coords = np.vstack([chosen, [(r, c)]])
+        else:
+            raise ValueError(predictor_configuration)
+        hist = tensor[:, coords[:, 0], coords[:, 1]]
+        last = final[coords[:, 0], coords[:, 1]]
+        frame = np.vstack([hist, last[None, :]])
+        res = clean_frame_oracle(frame)
+        if isinstance(res, str):
+            filled[r, c] = SKIP
+            continue
+        X_train, y_train, X_test = res
+        pred, score = _knn_cv_then_fill(
+            np.asarray(X_train, float), np.asarray(y_train, float).ravel(),
+            np.asarray(X_test, float), k, cv_seed(seed, len(y_train)))
+        filled[r, c] = pred
+        scores.append(score)
+    return filled, scores
+
+
+def sequential_gapfill_oracle(inputs, tensor, seed_fn, k=5):
+    """add_outputs=True chaining (gapfiller.py:788-790): fill inputs in
+    ts order, appending each filled layer to the training stack.
+    ``inputs``: list of (image_id, matrix) in chronological order."""
+    results = []
+    stack = np.asarray(tensor, float)
+    for image_id, m in inputs:
+        filled, scores = gapfill_image_oracle(
+            m, stack, None, seed_fn(image_id), k=k,
+            predictor_configuration="Random")
+        results.append((image_id, filled, scores))
+        stack = np.concatenate([stack, filled[None, :, :]])
+    return results
+
+
+def cellular_expand_oracle(matrix, biome, iters, seed, gap=GAP):
+    """Naive transcription of the cloud-expansion automaton
+    (common_functions.py:34-193) with the engine's seeding spec: one
+    seeded rng per image, one draw per candidate in row-major scan
+    order, iterated ``iters`` times."""
+    m = np.asarray(matrix, float).copy()
+    b = np.asarray(biome, float).copy()
+    rng = np.random.default_rng(seed)
+    h, w = m.shape
+    for _ in range(iters):
+        b[m == gap] = gap
+        nxt = m.copy()
+        vals = m[m != gap]
+        if vals.size == 0:
+            m = nxt
+            continue
+        amplitude = float(vals.max() - vals.min())
+        valid_coords = np.argwhere(m != gap)
+        for i in range(h):
+            for j in range(w):
+                if m[i, j] == gap:
+                    continue
+                i0, i1 = max(i - 1, 0), min(i + 2, h)
+                j0, j1 = max(j - 1, 0), min(j + 2, w)
+                n_cloud = int((m[i0:i1, j0:j1] == gap).sum())
+                if n_cloud == 0:
+                    continue
+                prob = rng.random()
+                if n_cloud >= 8:
+                    fact = 0.8
+                elif n_cloud == 7:
+                    fact = 0.85
+                elif n_cloud == 6:
+                    fact = 0.9
+                elif n_cloud == 5:
+                    fact = 0.95
+                else:
+                    fact = 0.99
+                code = b[i, j]
+                coords = np.argwhere(b == code)
+                if len(coords) < 41:
+                    coords = valid_coords
+                d = np.sqrt(((coords - np.array([i, j])) ** 2)
+                            .sum(axis=1).astype(float))
+                picked = []
+                dd = d.copy()
+                for _k in range(min(40, len(coords))):
+                    ii = int(np.argmin(dd))
+                    picked.append(coords[ii])
+                    dd[ii] = np.inf
+                sel = np.array(picked)
+                med = float(np.median(m[sel[:, 0], sel[:, 1]]))
+                value = (m[i, j] - med) / amplitude if amplitude != 0 else 0.0
+                if value >= 0 or n_cloud < 3:
+                    continue
+                if prob >= fact + value:
+                    nxt[i, j] = gap
+        m = nxt
+    return m
+
+
+def phash64_oracle(matrix):
+    """Naive transcription of the engine's documented 64-bit DCT
+    perceptual hash (codecs.py:181-201): median-fill sentinels, 32×32
+    block-mean resize, DCT-II, top-left 8×8 vs median (DC skipped)."""
+    m = np.asarray(matrix, float)
+    inv = (m == GAP) | (m == SKIP) | (m == NODATA)
+    fill = 0.0 if inv.all() else float(np.median(m[~inv]))
+    m = np.where(inv, fill, m)
+    h, w = m.shape
+    n = 32
+    out = np.zeros((n, n))
+    cnt = np.zeros((n, n))
+    for i in range(h):
+        ri = min((i * n) // max(h, 1), n - 1)
+        for j in range(w):
+            ci = min((j * n) // max(w, 1), n - 1)
+            out[ri, ci] += m[i, j]
+            cnt[ri, ci] += 1.0
+    cnt[cnt == 0] = 1.0
+    small = out / cnt
+    kk = np.arange(n)[:, None]
+    ii = np.arange(n)[None, :]
+    d = np.cos(np.pi / n * (ii + 0.5) * kk) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    coef = d @ small @ d.T
+    block = coef[:8, :8].ravel()
+    med = np.median(block[1:])
+    val = np.uint64(0)
+    for bit in (block > med).astype(np.uint64):
+        val = (val << np.uint64(1)) | bit
+    return int(val.astype(np.int64))
+
+
+def nn_fill_fast_oracle(m):
+    """Same semantics as nn_fill_oracle (gapfiller.py:920-962) but the
+    per-target search vectorized (argmin over the row-major valid
+    list preserves the first-index tie-break) — used for fixture
+    generation where the double-python-loop version is too slow."""
+    m = np.asarray(m, float)
+    invalid = (m == GAP) | (m == SKIP) | (m == NODATA)
+    if (~invalid).sum() <= 10:
+        return m.copy(), "not_enough_valid"
+    if (m == GAP).sum() == 0:
+        return m.copy(), "passthrough"
+    work = m.copy()
+    work[(work == SKIP) | (work == NODATA)] = GAP
+    valid = np.argwhere(work != GAP)
+    out = work.copy()
+    for (i, j) in np.argwhere(work == GAP):
+        d2 = (valid[:, 0] - i) ** 2 + (valid[:, 1] - j) ** 2
+        v = valid[np.argmin(d2)]
+        out[i, j] = work[v[0], v[1]]
+    out[m == SKIP] = SKIP
+    out[m == NODATA] = NODATA
+    return out, "filled"
