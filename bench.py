@@ -34,7 +34,48 @@ BENCH_QUERIES = [
     "t01_token_stats",
     "t03_fingerprint",
     "s01_cosine_topk",
+    "s03_lsh_topk",
 ]
+
+
+def lsh_recall(spark, qs) -> dict:
+    """recall@5 of the LSH ANN (s03) vs brute force (s01) at SF_DIR,
+    plus the candidate fraction (how much of the corpus the ANN
+    actually scored — the pruning evidence)."""
+    import numpy as np
+
+    brute = {}
+    for r in qs["s01_cosine_topk"](spark, SF_DIR).collect():
+        brute.setdefault(r["qid"], set()).add(r["nid"])
+    hits = 0
+    for r in qs["s03_lsh_topk"](spark, SF_DIR).collect():
+        if r["nid"] in brute.get(r["qid"], set()):
+            hits += 1
+    total = sum(len(v) for v in brute.values())
+
+    from ssgp_toolbox_spark.functions import simsearch
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding").collect()
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    b, L = 3, 8
+    planes = simsearch.hyperplanes(b * L, E.shape[1], seed=7)
+    sig = (E @ planes.T > 0).astype(np.int64)
+    keys = np.zeros((len(E), L), dtype=np.int64)
+    for t in range(L):
+        for j in range(b):
+            keys[:, t] = keys[:, t] * 2 + sig[:, t * b + j]
+    qsel = np.flatnonzero(ids < 10)
+    fracs = []
+    for qi in qsel:
+        mask = (keys == keys[qi]).any(axis=1)
+        mask[qi] = False
+        fracs.append(mask.mean())
+    return {
+        "lsh_recall_at_5": round(hits / total, 4) if total else float("nan"),
+        "lsh_candidate_frac": round(float(np.mean(fracs)), 4),
+    }
 
 
 def bench_rasters(spark, timings: dict) -> dict:
@@ -95,6 +136,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         assert n >= 0
     extras = bench_rasters(spark, timings)
+    extras.update(lsh_recall(spark, qs))
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({

@@ -153,6 +153,24 @@ def main():
         rows["phash"].append(oracles.phash64_oracle(filled))
     write("r07_expected", rows)
 
+    # ---- r09: Lasso/RandomGridSearch gapfill (grid-search mode e2e;
+    # deterministic: full Lasso grid + sequential folds) on the small
+    # 'mini' site (30×20, 8 history layers)
+    mh, mw = 30, 20
+    hist9 = np.stack([generator.make_layer("mini", mh, mw, t, "history", 0.02)
+                      for t in range(8)])
+    codes9 = generator.zone_raster("mini", mh, mw).astype(np.float64)
+    inp9 = generator.make_layer("mini", mh, mw, 8, "input", 0.04)
+    iid9 = f"mini/input/{generator.layer_ts(8)}"
+    filled9, scores9 = oracles.gapfill_lasso_grid_image_oracle(
+        inp9, hist9, codes9, oracles.stable_seed(iid9))
+    write("r09_expected", {
+        "image_id": [iid9], "status": ["filled"],
+        "filled_px": [int((inp9 == GAP).sum())],
+        "mean_cv_mae_raw": [float(np.mean(scores9))],
+        "phash": [oracles.phash64_oracle(filled9)],
+    })
+
     # ---- r08: per-image perceptual hashes (the pair join + hamming
     # filter runs in DuckDB SQL itself, brute-force — independently
     # re-deriving what the engine does with the banded LSH join)

@@ -87,3 +87,46 @@ def lat_band_filter(lat: Column, min_y: float, max_y: float,
 def biome_water_to_skip(value: Column, biome: Column) -> Column:
     """biome==0 (water) → skip sentinel (S3_L2_LST.py:141-149)."""
     return F.when(biome == 0, F.lit(SKIP)).otherwise(value)
+
+
+def flip_vertical(images):
+    """C9: decode-time vertical swath flip (reference
+    preparators/Sentinel3/S3_L2_LST.py:157-159 — ``np.flip(axis=0)``
+    applied to the data and geolocation arrays before warping).
+    Payload-level op: mapInPandas over the scan, zero shuffle; phash
+    recomputed because pixel layout changes."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ssgp_toolbox_spark import codecs
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                flipped = np.flip(m, axis=0)
+                out["image_id"].append(row.image_id)
+                out["bytes"].append(codecs.encode(flipped, row.fmt))
+                out["w"].append(row.w)
+                out["h"].append(row.h)
+                out["fmt"].append(row.fmt)
+                out["caption"].append(row.caption)
+                out["phash"].append(codecs.phash64(flipped))
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    return images.select(*cols).mapInPandas(fn, schema)

@@ -58,6 +58,75 @@ def sign_bucket(emb_col, n_bits: int = 2):
     return b
 
 
+def hyperplanes(n_bits: int = 16, dim: int = 64, seed: int = 7):
+    """Seeded random hyperplanes, rounded to 6dp so the same literal
+    constants embed exactly in both the Spark plan and the DuckDB
+    oracle SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).round(6)
+
+
+def lsh_table_keys(emb_col, planes, bits_per_table: int, n_tables: int):
+    """Per-table random-hyperplane bucket keys: table t's key packs
+    the sign bits of planes [t·b, (t+1)·b). Pure Catalyst (zip_with +
+    aggregate per plane) — no Python. Returns an array<int> of
+    ``n_tables`` keys."""
+    keys = []
+    for t in range(n_tables):
+        key = None
+        for j in range(bits_per_table):
+            h = planes[t * bits_per_table + j]
+            dot = F.aggregate(
+                F.zip_with(emb_col, F.array(*[F.lit(float(v)) for v in h]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, v: acc + v)
+            bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+            key = bit if key is None else key * 2 + bit
+        keys.append(key)
+    return F.array(*keys)
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             bits_per_table: int = 3, n_tables: int = 8,
+             seed: int = 7) -> DataFrame:
+    """ANN via classic multi-table random-hyperplane LSH: ``n_tables``
+    independent ``bits_per_table``-bit signatures; candidates = rows
+    sharing ANY table's bucket with the query; exact cosine rank on
+    candidates only.
+
+    The 100 TB shape: signatures are one JVM-side projection, the only
+    shuffle keys on (table, bucket), fan-out is n_tables× (constant),
+    and scoring touches the candidate union instead of the corpus —
+    linear, no crossJoin. Recall/pruning trade is corpus-dependent:
+    bench.py measures recall@5 vs the brute s01 baseline AND the
+    candidate fraction. On the synthetic harness embeddings
+    (near-orthogonal, top-1 cosine ≈ 0.4 — a worst case for LSH) the
+    defaults measure recall ≈ 0.9 at candidate fraction ≈ 0.66;
+    clustered real-world embeddings prune far harder at the same
+    recall (raise bits_per_table as neighbor similarity rises)."""
+    planes = hyperplanes(bits_per_table * n_tables, seed=seed)
+    keys = lambda col: lsh_table_keys(col, planes, bits_per_table, n_tables)
+    c = (_cast(embeddings)
+         .select(F.col("vec_id").alias("nid"), F.col("emb").alias("ne"),
+                 F.posexplode(keys(F.col("emb"))).alias("table", "bucket")))
+    q = (_cast(queries)
+         .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"),
+                 F.posexplode(keys(F.col("emb"))).alias("table", "bucket")))
+    scored = (
+        q.join(c, ["table", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid",
+                F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("sim"))
+        .distinct()  # a pair may collide in several tables
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "sim", "rank"))
+
+
 def bucketed_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                   n_bits: int = 2) -> DataFrame:
     """ANN: candidates restricted to the query's sign-bucket — the

@@ -138,14 +138,17 @@ def _knn_coords_exact(cands: np.ndarray, blk: np.ndarray, k: int,
         m *= 2
 
 
-def _biome_coords_batched(final, extra, gaps, seed):
+def _biome_coords_batched(final, extra, gaps, seed, coord_offset=(0, 0)):
     """Predictor coords for all gap pixels under 'Biome' (reference
     gapfiller.py:500-586 semantics incl. first-index tie-break and the
-    101-random fallback for small biomes)."""
+    101-random fallback for small biomes). ``coord_offset`` is the
+    window's absolute origin (tiled path): fallback RNG seeds key on
+    ABSOLUTE pixel coords so tiling never changes a pixel's seed."""
     masked = np.where(final == GAP, GAP, extra)
     P = len(gaps)
     out = np.empty((P, FR.N_NEAREST + 1, 2), dtype=np.int64)
     codes = extra[gaps[:, 0], gaps[:, 1]]
+    dr, dc = int(coord_offset[0]), int(coord_offset[1])
     for code in np.unique(codes):
         sel = np.flatnonzero(codes == code)
         cands = np.argwhere(masked == code)
@@ -158,7 +161,7 @@ def _biome_coords_batched(final, extra, gaps, seed):
         else:
             for s in sel:
                 r, c = (int(v) for v in gaps[s])
-                rng = FR._pixel_rng(seed, r, c)
+                rng = FR._pixel_rng(seed, r + dr, c + dc)
                 rand = FR.select_random(final, (r, c), rng)[:-1]
                 out[s, :-1] = FR._k_nearest(rand, (r, c), FR.N_NEAREST)
     out[:, -1] = gaps
@@ -171,7 +174,8 @@ def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
                    hyperparameters: str = "Custom",
                    params: dict | None = None, seed: int = 0,
                    gap_slice: tuple[int, int] | None = None,
-                   gap_subset: np.ndarray | None = None):
+                   gap_subset: np.ndarray | None = None,
+                   coord_offset: tuple[int, int] = (0, 0)):
     """Batched equivalent of frame.fill_image(method='Knn', ...).
     Custom mode only (the grid-search modes go through the generic
     path). Returns (filled, scores) with scores in gap scan order.
@@ -202,7 +206,7 @@ def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
     if predictor_configuration == "Biome":
         if extra is None:
             raise ValueError("Biome mode requires the extra (zone) matrix")
-        coords = _biome_coords_batched(final, extra, gaps, seed)
+        coords = _biome_coords_batched(final, extra, gaps, seed, coord_offset)
     elif predictor_configuration == "Random":
         coords = np.stack([
             FR.select_random(final, (int(r), int(c)), FR._pixel_rng(seed, int(r), int(c)))

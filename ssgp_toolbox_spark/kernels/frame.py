@@ -179,9 +179,18 @@ def fill_image(final: np.ndarray, tensor: np.ndarray,
             filled[r, c] = SKIP
             continue
         X_train, y_train, X_test = res
+        s = cv_seed(seed, len(y_train))
+        if hyperparameters in ("RandomGridSearch", "GridSearch"):
+            # grid modes sample candidates per PIXEL (the reference's
+            # unseeded RandomizedSearchCV draws fresh per call;
+            # sharing one candidate subset across an image would bias
+            # a whole fill on one unlucky draw). Custom mode keeps the
+            # (image, n_train) seed — the batched kernel's fold-share
+            # contract (kernels/batch.py).
+            s = (s * 69069 + r * 8191 + c * 131) % (2**63 - 1)
         pred, score = regressors.fit_predict(
             method, hyperparameters, params, X_train, y_train, X_test,
-            seed=cv_seed(seed, len(y_train)),
+            seed=s,
         )
         filled[r, c] = float(np.ravel(pred)[0])
         scores.append(abs(float(np.ravel(score).mean() if np.ndim(score) else score)))

@@ -22,19 +22,25 @@ MIN_VALID = 10  # reference viability threshold for EP2 (gapfiller.py:924-929)
 
 
 def nn_fill_values(points: np.ndarray, values: np.ndarray,
-                   targets: np.ndarray, chunk: int = 1024) -> np.ndarray:
+                   targets: np.ndarray, chunk: int = 1024,
+                   return_d2: bool = False):
     """1-NN lookup over an arbitrary point cloud: nearest of
     ``points`` for each of ``targets``, ties broken by first index
     (stable argmin). O(targets × points) — used for halo-window point
     clouds (tiled_fill) and as the small-scale oracle-compatible path;
-    dense rasters use ``nn_lookup_grid`` below."""
+    dense rasters use ``nn_lookup_grid`` below. ``return_d2`` also
+    returns each target's nearest squared distance (the tiled path's
+    exactness bound needs it)."""
     out = np.empty(len(targets), dtype=values.dtype)
+    d2min = np.empty(len(targets), dtype=np.float64)
     pts = points.astype(np.float64)
     for s in range(0, len(targets), chunk):
         t = targets[s : s + chunk].astype(np.float64)
         d2 = ((t[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
-        out[s : s + chunk] = values[np.argmin(d2, axis=1)]
-    return out
+        best = np.argmin(d2, axis=1)
+        out[s : s + chunk] = values[best]
+        d2min[s : s + chunk] = d2[np.arange(len(t)), best]
+    return (out, d2min) if return_d2 else out
 
 
 def _column_nearest(valid: np.ndarray):

@@ -66,7 +66,10 @@ class LassoRegressor:
         self.tol = tol
 
     def fit(self, X, y):
-        X = np.asarray(X, dtype=np.float64)
+        # contiguous copy: BLAS dot products on strided views round
+        # differently than on contiguous arrays — normalizing layout
+        # keeps results independent of how the caller sliced X
+        X = np.ascontiguousarray(X, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64).ravel()
         n, p = X.shape
         xm = X.mean(axis=0)
@@ -103,12 +106,20 @@ class LassoRegressor:
 class LinearSVRRegressor:
     """Epsilon-insensitive linear SVR via dual coordinate descent
     (Ho & Lin 2012 style, L1 loss), with bias folded in as an extra
-    constant feature. Deterministic (cyclic order)."""
+    constant feature scaled by ``bias_scale`` (liblinear's ``-B``
+    trick): the intercept's effective regularization is
+    1/bias_scale², approximating libsvm SVR's UNregularized intercept
+    while keeping the one-variable CD updates. bias_scale=10 measured
+    closest to the reference's sklearn-SVR fills on the Comparison
+    data (MAE 0.406 vs published 0.42 on StPetersburg 4%); larger
+    values hurt conditioning. Deterministic (cyclic order)."""
 
-    def __init__(self, C: float = 1.0, epsilon: float = 0.1, max_iter: int = 300):
+    def __init__(self, C: float = 1.0, epsilon: float = 0.1,
+                 max_iter: int = 300, bias_scale: float = 10.0):
         self.C = float(C)
         self.epsilon = float(epsilon)
         self.max_iter = max_iter
+        self.bias_scale = float(bias_scale)
 
     def fit(self, X, y):
         X = np.asarray(X, dtype=np.float64)
@@ -117,35 +128,56 @@ class LinearSVRRegressor:
         # the mean; a regularized folded-in bias cannot reach y≈290 K
         # at small C, so we fit residuals and add the mean back
         self._y_mean = float(y.mean())
-        y = y - self._y_mean
+        yl = (y - self._y_mean).tolist()
         n, p = X.shape
-        Xb = np.hstack([X, np.ones((n, 1))])
-        beta = np.zeros(n)  # beta_i = alpha_i+ - alpha_i-  in [-C, C]
-        w = np.zeros(p + 1)
-        q = (Xb**2).sum(axis=1)
+        Xb = np.hstack([X, np.full((n, 1), self.bias_scale)])
+        # Gram form: per-coordinate gradient g_i = (K @ beta)_i - y_i
+        # maintained incrementally — O(n) per update instead of O(p),
+        # and the inner loop stays on raw python floats (the dual CD is
+        # inherently sequential, so the win is constant-factor)
+        K = Xb @ Xb.T
+        krows = [np.ascontiguousarray(K[i]) for i in range(n)]
+        ql = np.diag(K).tolist()
+        beta = np.zeros(n)
+        f = np.zeros(n)  # f = K @ beta
+        C, eps = self.C, self.epsilon
         for _ in range(self.max_iter):
             max_step = 0.0
             for i in range(n):
-                if q[i] == 0.0:
+                qi = ql[i]
+                if qi == 0.0:
                     continue
-                g = Xb[i] @ w - y[i]
+                bi = beta[i]
+                g = f[i] - yl[i]
                 # subgradient step on the dual for coordinate i
-                viol = g + np.sign(beta[i]) * self.epsilon if beta[i] != 0 else (
-                    g - self.epsilon if g > self.epsilon else (g + self.epsilon if g < -self.epsilon else 0.0)
-                )
+                if bi != 0.0:
+                    viol = g + (eps if bi > 0 else -eps)
+                else:
+                    if g > eps:
+                        viol = g - eps
+                    elif g < -eps:
+                        viol = g + eps
+                    else:
+                        continue
                 if viol == 0.0:
                     continue
-                d = -viol / q[i]
-                nb = np.clip(beta[i] + d, -self.C, self.C)
-                step = nb - beta[i]
+                nb = bi - viol / qi
+                if nb > C:
+                    nb = C
+                elif nb < -C:
+                    nb = -C
+                step = nb - bi
                 if step != 0.0:
-                    w += step * Xb[i]
+                    f += step * krows[i]
                     beta[i] = nb
-                    max_step = max(max_step, abs(step))
+                    a = abs(step)
+                    if a > max_step:
+                        max_step = a
             if max_step < 1e-8:
                 break
+        w = Xb.T @ beta
         self.coef_ = w[:-1]
-        self.intercept_ = w[-1] + self._y_mean
+        self.intercept_ = w[-1] * self.bias_scale + self._y_mean
         return self
 
     def predict(self, X):
@@ -332,16 +364,34 @@ def kfold_indices(n: int, k: int, rng: np.random.Generator):
     return folds
 
 
-def cross_val_neg_mae(factory, X, y, cv: int, rng: np.random.Generator) -> float:
+def kfold_sequential(n: int, k: int):
+    """Contiguous unshuffled k-fold (sklearn KFold(shuffle=False)) —
+    what GridSearchCV/RandomizedSearchCV's ``cv=3`` uses in the
+    reference's grid modes (gapfiller.py:399-423): every candidate is
+    scored on the SAME folds."""
+    sizes = np.full(k, n // k)
+    sizes[: n % k] += 1
+    folds, pos = [], 0
+    idx = np.arange(n)
+    for s in sizes:
+        folds.append(idx[pos : pos + s])
+        pos += s
+    return folds
+
+
+def cross_val_neg_mae(factory, X, y, cv: int,
+                      rng: np.random.Generator | None = None,
+                      folds=None) -> float:
     """Mean negative MAE over cv folds (reference scoring
     'neg_mean_absolute_error'). Raises ValueError mentioning n_splits
     when the sample is too small — same trigger the reference catches
-    (gapfiller.py:737-739)."""
+    (gapfiller.py:737-739). ``folds`` overrides the shuffled split
+    (grid modes pass one fixed sequential split for all candidates)."""
     n = len(y)
     if n < cv:
         raise ValueError(f"n_splits={cv} cannot be greater than the number of samples={n}")
     scores = []
-    for fold in kfold_indices(n, cv, rng):
+    for fold in (folds if folds is not None else kfold_indices(n, cv, rng)):
         mask = np.ones(n, dtype=bool)
         mask[fold] = False
         if mask.sum() == 0 or len(fold) == 0:
@@ -363,13 +413,21 @@ def grid_candidates(grid: dict) -> list[dict]:
 def search(factory, grid: dict, X, y, rng: np.random.Generator,
            n_iter: int | None = None, cv: int = 3):
     """Grid / randomized-grid search by neg-MAE CV. ``n_iter`` set →
-    seeded sample of the candidate list (RandomizedSearchCV analog)."""
+    seeded sample of the candidate list (RandomizedSearchCV analog).
+    All candidates are scored on the SAME unshuffled sequential folds,
+    like the reference's GridSearchCV/RandomizedSearchCV with ``cv=3``
+    (sklearn KFold(shuffle=False)); ``rng`` only drives the candidate
+    sample."""
     cands = grid_candidates(grid)
     if n_iter is not None and n_iter < len(cands):
         cands = [cands[i] for i in rng.choice(len(cands), size=n_iter, replace=False)]
+    n = len(y)
+    if n < cv:
+        raise ValueError(f"n_splits={cv} cannot be greater than the number of samples={n}")
+    folds = kfold_sequential(n, cv)
     best_params, best_score = None, -np.inf
     for params in cands:
-        s = cross_val_neg_mae(lambda p=params: factory(**p), X, y, cv, rng)
+        s = cross_val_neg_mae(lambda p=params: factory(**p), X, y, cv, folds=folds)
         if s > best_score:
             best_params, best_score = params, s
     return best_params, best_score
@@ -404,8 +462,17 @@ def make_estimator(method: str, params: dict | None, seed: int = 0):
         params.pop("algorithm", None)  # brute-force always; param kept for API parity
         return KNNRegressor(**params)
     if method == "SVR":
-        params.pop("kernel", None)
-        params.pop("gamma", None)
+        kernel = params.pop("kernel", None)
+        if kernel not in (None, "linear"):
+            # sklearn SVR() defaults to kernel='rbf'; our kernel is
+            # linear-only, so a non-linear request must fail loudly
+            # rather than silently diverge from reference semantics.
+            # The parity-matched grid modes set kernel='linear'
+            # (reference gapfiller.py:399,414).
+            raise ValueError(
+                f"SVR kernel={kernel!r} is not implemented (linear only); "
+                "the reference's grid-search modes use kernel='linear'")
+        params.pop("gamma", None)  # 'scale' — meaningless for linear
         return LinearSVRRegressor(**params)
     if method == "RandomForest":
         return ForestRegressor(n_estimators=params.pop("n_estimators", _FOREST_N),
@@ -447,9 +514,10 @@ def fit_predict(method: str, hyperparameters: str, params: dict | None,
     try:
         if hyperparameters in ("RandomGridSearch", "GridSearch"):
             n_iter = RANDOM_N_ITER[method] if hyperparameters == "RandomGridSearch" else None
-            best, score = search(lambda **p: make_estimator(method, p, seed),
+            base = dict(params or {})  # non-grid knobs (e.g. max_iter) pass through
+            best, score = search(lambda **p: make_estimator(method, {**base, **p}, seed),
                                  GRIDS[method], X_train, y_train, rng, n_iter=n_iter)
-            m = make_estimator(method, best, seed).fit(X_train, y_train)
+            m = make_estimator(method, {**base, **best}, seed).fit(X_train, y_train)
             return m.predict(X_test), float(score)
         if hyperparameters == "Custom":
             score = cross_val_neg_mae(lambda: make_estimator(method, params, seed),

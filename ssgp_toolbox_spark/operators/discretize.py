@@ -143,11 +143,93 @@ def _fill_group(filling_method, n_neighbors, poly_degree):
     return fn
 
 
+# ---- tiled fill stage: bounds group memory to buckets × tile² ------
+
+_GRID_TILE_SCHEMA = T.StructType([
+    T.StructField("site", T.StringType()),
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("centroid", T.TimestampType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("n_layers", T.IntegerType()),
+    T.StructField("tx", T.IntegerType()), T.StructField("ty", T.IntegerType()),
+    T.StructField("row0", T.IntegerType()), T.StructField("col0", T.IntegerType()),
+    T.StructField("core_h", T.IntegerType()), T.StructField("core_w", T.IntegerType()),
+    T.StructField("prow0", T.IntegerType()), T.StructField("pcol0", T.IntegerType()),
+    T.StructField("ph", T.IntegerType()), T.StructField("pw", T.IntegerType()),
+    T.StructField("tile_bytes", T.BinaryType()),
+])
+
+_TILE_META = ["tx", "ty", "row0", "col0", "core_h", "core_w",
+              "prow0", "pcol0", "ph", "pw"]
+
+
+def _tile_explode_grid(tile: int):
+    from ssgp_toolbox_spark import tiling
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = _GRID_TILE_SCHEMA.fieldNames()
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                t = tiling.explode_tiles_pdf("_", m, tile, halo=0)
+                for col in ("site", "bucket", "centroid", "w", "h", "fmt",
+                            "n_layers"):
+                    t[col] = getattr(row, col)
+                outs.append(t[cols])
+            yield (pd.concat(outs) if outs else pd.DataFrame(columns=cols))
+
+    return fn
+
+
+def _fill_tile_group(filling_method, n_neighbors, poly_degree):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        ph, pw = int(pdf["ph"].iloc[0]), int(pdf["pw"].iloc[0])
+        stack = np.stack([
+            np.frombuffer(b, dtype="<f8").reshape(ph, pw)
+            for b in pdf["tile_bytes"]
+        ])
+        filled = ts_kernel.fill_stack(stack, filling_method, n_neighbors,
+                                      poly_degree)
+        pdf["tile_bytes"] = [
+            np.ascontiguousarray(filled[i], "<f8").tobytes()
+            for i in range(len(pdf))
+        ]
+        return pdf
+
+    return fn
+
+
+def _assemble_grid(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    from ssgp_toolbox_spark import tiling
+
+    h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
+    fmt = pdf["fmt"].iloc[0]
+    m = tiling.assemble_from_tiles(pdf, h, w)
+    return pd.DataFrame([{
+        "site": key[0], "bucket": int(key[1]),
+        "centroid": pdf["centroid"].iloc[0],
+        "bytes": codecs.encode(m, fmt),
+        "w": w, "h": h, "fmt": fmt,
+        "n_layers": int(pdf["n_layers"].iloc[0]),
+    }])[GRID_SCHEMA.fieldNames()]
+
+
 def discretize(layers: DataFrame, timestep: str = "12H",
                averaging: str = "None", filling_method: str | None = "None",
-               n_neighbors: int = 5, poly_degree: int = 2) -> DataFrame:
+               n_neighbors: int = 5, poly_degree: int = 2,
+               tile: int | None = None) -> DataFrame:
     """``layers`` must carry (site, ts, bytes, h, w, fmt). Returns the
-    gridded + temporally filled stack, one row per (site, bucket)."""
+    gridded + temporally filled stack, one row per (site, bucket).
+
+    ``tile``: when set, the temporal-fill stage is keyed on
+    (site, tx, ty) instead of (site) — group memory drops from
+    buckets × raster² to buckets × tile², which is what bounds a task
+    at 10^5×10^5-pixel sites. Bit-identical to the untiled path (the
+    fill is per-pixel; tiles exchange nothing)."""
     step_s = parse_step(timestep)
     bounds, grid = site_grid(layers, step_s)
 
@@ -167,8 +249,17 @@ def discretize(layers: DataFrame, timestep: str = "12H",
         "site", "bucket", "start", "h", "w", "fmt", "layers"
     ).mapInPandas(_resolve_batches(averaging, step_s), GRID_SCHEMA)
 
-    return resolved.groupBy("site").applyInPandas(
-        _fill_group(filling_method, n_neighbors, poly_degree), GRID_SCHEMA
+    if tile is None:
+        return resolved.groupBy("site").applyInPandas(
+            _fill_group(filling_method, n_neighbors, poly_degree), GRID_SCHEMA
+        )
+    tiles = resolved.mapInPandas(_tile_explode_grid(tile), _GRID_TILE_SCHEMA)
+    filled = tiles.groupBy("site", "tx", "ty").applyInPandas(
+        _fill_tile_group(filling_method, n_neighbors, poly_degree),
+        _GRID_TILE_SCHEMA,
+    )
+    return filled.groupBy("site", "bucket").applyInPandas(
+        _assemble_grid, GRID_SCHEMA
     )
 
 

@@ -195,6 +195,25 @@ CHUNK_SCHEMA = T.StructType([
 # decode per (site, broadcast-id) per worker process, not per chunk
 _BC_CACHE: dict = {}
 
+_SITE_CACHE_MAX = 8  # decoded site tensors kept per worker (FIFO evict)
+
+# driver-side registry of live broadcast variables created by
+# gapfill_balanced — drained by release_broadcasts() (and by the
+# checkpointed loop after each snapshot commit) so repeated calls in
+# one session don't accumulate executor memory
+_LIVE_BROADCASTS: list = []
+
+
+def release_broadcasts() -> int:
+    """Unpersist every broadcast created by prior gapfill_balanced
+    calls. Call AFTER materializing the returned DataFrame (the
+    broadcast must stay alive until then). Returns the count."""
+    n = 0
+    while _LIVE_BROADCASTS:
+        _LIVE_BROADCASTS.pop().unpersist()
+        n += 1
+    return n
+
 
 def _bc_tensors(bc, site):
     gen = bc.value["gen"]
@@ -202,6 +221,9 @@ def _bc_tensors(bc, site):
     if key not in _BC_CACHE:
         for stale in [k for k in _BC_CACHE if k[0] != gen]:
             del _BC_CACHE[stale]
+        site_keys = [k for k in _BC_CACHE if len(k) == 2]
+        if len(site_keys) >= _SITE_CACHE_MAX:
+            del _BC_CACHE[site_keys[0]]
         hist_layers, extra_layer = bc.value["sites"][site]
         tensor = np.stack([
             codecs.decode(b, h, w, f) for (_ts, b, h, w, f) in hist_layers
@@ -331,15 +353,19 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
     # input payloads ride the broadcast too: chunk rows are then pure
     # (image_id, chunk_id) keys, so the chunk shuffle and the Arrow
     # pipes carry ~50 bytes/task instead of a duplicated raster per
-    # chunk (a measured 3× JVM tax at 32 workers). One batch of inputs
-    # must fit the driver; at larger scale process input batches per
-    # snapshot (checkpoint.run_checkpointed(batch_rows=...)).
+    # chunk (a measured 3× JVM tax at 32 workers). The collected set
+    # must fit the driver — beyond that, use
+    # gapfill_balanced_checkpointed(batch_rows=...), which bounds the
+    # collect to one batch per snapshot and unpersists each batch's
+    # broadcast after commit. Call release_broadcasts() after
+    # materializing this one-shot variant's output.
     input_map = {
         r["image_id"]: (bytes(r["bytes"]), int(r["h"]), int(r["w"]), r["fmt"])
         for r in viable.select("image_id", "bytes", "h", "w", "fmt").collect()
     }
     bc = sc.broadcast({"gen": uuid.uuid4().hex, "sites": site_map,
                        "inputs": input_map})
+    _LIVE_BROADCASTS.append(bc)
 
     n_chunks = F.ceil(F.col("gap_count") / chunk_px).cast("int")
     # explicit partition count: the chunk shuffle is tiny in BYTES but
@@ -368,6 +394,59 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
         F.lit(0.0).alias("mean_cv_mae"),
     )
     return assembled.unionByName(pass_df)
+
+
+def gapfill_balanced_checkpointed(images: DataFrame, table_path: str,
+                                  batch_rows: int = 64,
+                                  predictor_configuration: str = "Biome",
+                                  params: dict | None = None,
+                                  min_valid: int = 101,
+                                  chunk_px: int = 512, method: str = "Knn",
+                                  hyperparameters: str = "Custom") -> list[str]:
+    """THE 100 TB entry point for the balanced path: viable inputs are
+    processed in bounded batches of ``batch_rows`` images — only one
+    batch of input payloads is ever collected to the driver for the
+    side-input broadcast, each batch commits as one resumable snapshot
+    (io/images manifest), and the batch's broadcast is unpersisted as
+    soon as its snapshot lands. ``gapfill_balanced`` itself keeps the
+    one-shot shape for corpora that fit the driver; this wrapper is
+    what a 10^12-row run uses (and what resumes after a crash: already
+    committed image_ids are anti-joined away).
+
+    Returns the committed snapshot ids; read the result with
+    ``io.images.load(spark, table_path)``."""
+    from ssgp_toolbox_spark.operators import checkpoint
+
+    spark = images.sparkSession
+    inputs = images.filter(F.col("role") == "input")
+    side = images.filter(F.col("role") != "input")
+    # targets = inputs the operator will actually emit (viable or
+    # passthrough); non-viable ones are excluded by the operator and
+    # must not count as "remaining" forever
+    targets = inputs.filter(F.col("valid_px") > min_valid).select("image_id")
+
+    def compute(todo: DataFrame) -> DataFrame:
+        batch_inputs = inputs.join(todo.select("image_id"), "image_id")
+        out = gapfill_balanced(
+            side.unionByName(batch_inputs),
+            predictor_configuration=predictor_configuration, params=params,
+            min_valid=min_valid, chunk_px=chunk_px, method=method,
+            hyperparameters=hyperparameters)
+        return out
+
+    sids = []
+    while True:
+        todo = checkpoint.remaining(targets, spark, table_path).limit(batch_rows)
+        if todo.count() == 0:
+            break
+        from ssgp_toolbox_spark.io import images as img_io
+
+        out = checkpoint.with_lineage(compute(todo), {
+            "op": "gapfill_balanced", "method": method,
+            "hyperparameters": hyperparameters, "chunk_px": chunk_px})
+        sids.append(img_io.append_snapshot(out, table_path))
+        release_broadcasts()  # snapshot committed → side inputs free
+    return sids
 
 
 def gapfill_sequential(images: DataFrame, method: str = "Lasso",

@@ -14,13 +14,15 @@ Plan (two shuffles, both on tile keys):
    tiling.assemble_from_tiles, the 'per-tile assignments exactly'
    invariant).
 
-Exactness: identical to the whole-image ``nn_fill`` whenever each gap
-pixel's nearest valid pixel lies within its ring-1 window — guaranteed
-when every tile has a valid pixel, and asserted per-pixel: a gap whose
-window holds no valid pixel is left as gap and counted in
-``unresolved_px`` (a second pass with a wider ring, or the per-image
-path, finishes those). This trade is what makes the operator viable at
-10^5×10^5-pixel rasters where no single task can hold the image.
+Exactness: every ACCEPTED fill is identical to the whole-image
+``nn_fill`` — a pixel's fill is accepted only when its in-window
+nearest-valid distance is strictly smaller than the distance to any
+non-raster-border window edge (so no outside pixel can be nearer or
+tie). Pixels failing the bound — including the no-valid-in-window
+case — are left as gap and counted in ``unresolved_px`` (a second
+pass with a wider ring, or the per-image path, finishes those). This
+trade is what makes the operator viable at 10^5×10^5-pixel rasters
+where no single task can hold the image.
 """
 
 from __future__ import annotations
@@ -93,9 +95,33 @@ def _fill_window(key, pdf: pd.DataFrame) -> pd.DataFrame:
             # whole-image kernel
             order = np.lexsort((pts[:, 1], pts[:, 0]))
             pts, vals = pts[order], vals[order]
-            filled_vals = nn.nn_fill_values(pts, vals, targets)
+            filled_vals, d2 = nn.nn_fill_values(pts, vals, targets,
+                                                return_d2=True)
+            # exactness bound: the true nearest valid pixel could lie
+            # just outside the window — accept a fill only when the
+            # in-window nearest is STRICTLY closer than any possible
+            # outside pixel (window edges at raster borders are safe;
+            # ties rejected because row-major tie-break could prefer
+            # an outside pixel). Rejected pixels stay gap and are
+            # counted in unresolved_px.
+            H, W = int(own.h), int(own.w)
+            rmin = int(pdf.prow0.min())
+            rmax = int((pdf.prow0 + pdf.ph).max())
+            cmin = int(pdf.pcol0.min())
+            cmax = int((pdf.pcol0 + pdf.pw).max())
+            safe = np.full(len(targets), np.inf)
+            if rmin > 0:
+                safe = np.minimum(safe, (targets[:, 0] - rmin + 1) ** 2)
+            if rmax < H:
+                safe = np.minimum(safe, (rmax - targets[:, 0]) ** 2)
+            if cmin > 0:
+                safe = np.minimum(safe, (targets[:, 1] - cmin + 1) ** 2)
+            if cmax < W:
+                safe = np.minimum(safe, (cmax - targets[:, 1]) ** 2)
+            ok = d2 < safe
             loc = targets - np.array([own.prow0, own.pcol0])
-            core[loc[:, 0], loc[:, 1]] = filled_vals
+            core[loc[ok, 0], loc[ok, 1]] = filled_vals[ok]
+            n_unresolved = int((~ok).sum())
         else:
             n_unresolved = len(targets)
     row = own.to_dict()

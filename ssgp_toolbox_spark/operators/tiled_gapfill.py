@@ -120,7 +120,8 @@ def _fill_tile_group(params):
             approx = 0
             if in_core.any():
                 # window-local fill; per-pixel seeds keyed by ABSOLUTE
-                # pixel coords so tiling does not change the seed
+                # pixel coords (coord_offset) so tiling does not change
+                # the seed
                 sub = gaps_all[in_core]
                 work = win.copy()
                 # fill only the core gaps (halo gaps belong to the
@@ -132,10 +133,17 @@ def _fill_tile_group(params):
                     params={"n_neighbors": k, "weights": weights},
                     seed=_stable_seed(inp.image_id),
                     gap_subset=sub,
+                    coord_offset=(int(inp.prow0), int(inp.pcol0)),
                 )
                 filled[sub[:, 0], sub[:, 1]] = f[sub[:, 0], sub[:, 1]]
                 scores = sc
-                # approximation audit: 40th-neighbor distance vs edge
+                # approximation audit. Exact iff either (a) the biome
+                # is window-locally large and its 40th neighbor fits
+                # inside the unclipped window, or (b) the random
+                # fallback ran over a window covering the WHOLE raster
+                # (then the window-local valid set == image-wide one).
+                full_window = (inp.prow0 == 0 and inp.pcol0 == 0
+                               and inp.ph == inp.h and inp.pw == inp.w)
                 masked = np.where(work == GAP, GAP, extra)
                 for (r, c) in sub:
                     code = extra[r, c]
@@ -150,6 +158,10 @@ def _fill_tile_group(params):
                                 and gr < inp.h - 1 and gc < inp.w - 1
                                 and d40 > edge * edge):
                             approx += 1
+                    elif not full_window:
+                        # random-fallback pixel sampled from the
+                        # window-local valid set — approximate
+                        approx += 1
             row = {f: getattr(inp, f) for f in
                    ("image_id", "site", "w", "h", "fmt", "caption", "phash",
                     "tx", "ty", "row0", "col0", "core_h", "core_w", "halo",

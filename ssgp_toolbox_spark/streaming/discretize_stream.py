@@ -9,10 +9,16 @@ a live feed of arriving image rows lands on the same 12H grid the
 batch operator produces:
 
 - ``F.window(ts, '12 hours')`` = the reference's
-  ``pd.date_range(freq='12H')`` buckets (timeseries.py:81-92);
-- ``F.min_by(payload, |ts − centroid|)`` = the argmin
-  nearest-to-centroid pick (timeseries.py:108-123), computed
-  incrementally as rows arrive;
+  ``pd.date_range(freq='12H')`` buckets (timeseries.py:81-92).
+  CAVEAT: ``F.window`` anchors buckets at the epoch while the batch
+  operator anchors at each site's min-ts midnight — the two gridings
+  coincide exactly iff the step divides 24 h (12H/6H/24H all do; an
+  irregular step like 7H would need a per-site ``startTime``, which
+  Spark only accepts as a constant — use the batch operator there);
+- ``F.min_by(payload, struct(|ts − centroid|, ts))`` = the argmin
+  nearest-to-centroid pick (timeseries.py:108-123) with the batch
+  path's earliest-ts tie-break (argmin over the chronologically
+  sorted bucket), computed incrementally as rows arrive;
 - ``withWatermark`` bounds state for late layers (the batch reference
   has no lateness concept — files are all on disk — so any watermark
   ≥ the max observed lateness reproduces batch results).
@@ -41,6 +47,13 @@ def streaming_bucket_assign(layers: DataFrame, timestep: str = "12H",
     the streaming equivalent of the batch ``discretize`` resolution
     stage in 'None' averaging mode."""
     step_s = parse_step(timestep)
+    if 86400 % step_s != 0:
+        raise ValueError(
+            f"streaming bucketing requires a step dividing 24h (got "
+            f"{timestep!r}): F.window anchors at the epoch, the batch "
+            "grid at each site's min-ts midnight — they only coincide "
+            "for day-dividing steps. Use operators.discretize for "
+            "irregular steps.")
     win = F.window(F.col("ts"), f"{step_s} seconds")
     centroid_us = (F.unix_micros(F.col("window.start").cast("timestamp"))
                    + F.lit(int(step_s * 1e6 / 2)).cast("long"))
@@ -51,9 +64,12 @@ def streaming_bucket_assign(layers: DataFrame, timestep: str = "12H",
         .withColumn("dist", dist)
         .groupBy("site", "window")
         .agg(
-            F.min_by("bytes", "dist").alias("bytes"),
-            F.first("h").alias("h"), F.first("w").alias("w"),
-            F.first("fmt").alias("fmt"),
+            # (dist, ts) struct ordering = batch argmin's
+            # earliest-layer tie-break; min(h/w/fmt) instead of
+            # first() for determinism (uniform per site anyway)
+            F.min_by("bytes", F.struct("dist", "ts")).alias("bytes"),
+            F.min("h").alias("h"), F.min("w").alias("w"),
+            F.min("fmt").alias("fmt"),
             F.count("*").alias("n_layers"),
         )
         .select(

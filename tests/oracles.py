@@ -438,3 +438,126 @@ def nn_fill_fast_oracle(m):
     out[m == SKIP] = SKIP
     out[m == NODATA] = NODATA
     return out, "filled"
+
+
+def lasso_cd_oracle(X, y, alpha, max_iter=500, tol=1e-6):
+    """Cyclic-coordinate-descent Lasso on the standard objective
+    (1/2n)||y - Xw - b||² + alpha||w||₁ — the engine's documented
+    solver spec (kernels/regressors.py LassoRegressor), retraced here
+    step for step so the r09 fixture is reproducible outside the
+    engine. Returns (w, intercept)."""
+    X = np.ascontiguousarray(X, dtype=float)
+    y = np.asarray(y, float).ravel()
+    n, p = X.shape
+    xm = X.mean(axis=0)
+    ym = y.mean()
+    Xc = X - xm
+    yc = y - ym
+    w = np.zeros(p)
+    col_sq = (Xc**2).sum(axis=0)
+    r = yc - Xc @ w
+    lam = alpha * n
+    for _ in range(max_iter):
+        w_max = d_max = 0.0
+        for j in range(p):
+            if col_sq[j] == 0.0:
+                continue
+            wj = w[j]
+            rho = Xc[:, j] @ r + col_sq[j] * wj
+            wn = np.sign(rho) * max(abs(rho) - lam, 0.0) / col_sq[j]
+            if wn != wj:
+                r += Xc[:, j] * (wj - wn)
+                w[j] = wn
+            d_max = max(d_max, abs(wn - wj))
+            w_max = max(w_max, abs(wn))
+        if w_max == 0.0 or d_max / max(w_max, 1e-30) < tol:
+            break
+    return w, ym - xm @ w
+
+
+def _lasso_predict(X, w, b):
+    return np.asarray(X, float) @ w + b
+
+
+def _kfold_seq(n, k):
+    """sklearn KFold(shuffle=False): contiguous folds, first n%k get
+    the extra row — the split GridSearchCV/RandomizedSearchCV use."""
+    sizes = np.full(k, n // k)
+    sizes[: n % k] += 1
+    folds, pos = [], 0
+    idx = np.arange(n)
+    for s in sizes:
+        folds.append(idx[pos : pos + s])
+        pos += s
+    return folds
+
+
+def lasso_grid_fit_predict(X_train, y_train, X_test):
+    """Full-grid Lasso search (alpha = arange(1, 800, 50), reference
+    gapfiller.py:140) scored by 3-fold sequential-split neg-MAE, then
+    refit + predict; train-MAE fallback when n < 3. Returns
+    (prediction, |score|)."""
+    X_train = np.asarray(X_train, float)
+    y_train = np.asarray(y_train, float).ravel()
+    n = len(y_train)
+    alphas = list(np.arange(1, 800, 50))
+    if n < 3:
+        # no-CV fallback fits with the base params only (the engine's
+        # no_cv() path; alpha defaults to 1.0)
+        w, b = lasso_cd_oracle(X_train, y_train, 1.0)
+        pred = _lasso_predict(X_test, w, b)
+        score = float(np.mean(np.abs(_lasso_predict(X_train, w, b) - y_train)))
+        return float(np.ravel(pred)[0]), abs(score)
+    folds = _kfold_seq(n, 3)
+    best_alpha, best_score = None, -np.inf
+    for a in alphas:
+        scores = []
+        for fold in folds:
+            mask = np.ones(n, dtype=bool)
+            mask[fold] = False
+            w, b = lasso_cd_oracle(X_train[mask], y_train[mask], a)
+            p = _lasso_predict(X_train[fold], w, b)
+            scores.append(-float(np.mean(np.abs(p - y_train[fold]))))
+        s = float(np.mean(scores))
+        if s > best_score:
+            best_alpha, best_score = a, s
+    w, b = lasso_cd_oracle(X_train, y_train, best_alpha)
+    pred = _lasso_predict(X_test, w, b)
+    return float(np.ravel(pred)[0]), abs(best_score)
+
+
+def gapfill_lasso_grid_image_oracle(final, tensor, extra, seed):
+    """Naive per-pixel gapfill with method='Lasso',
+    hyperparameters='RandomGridSearch' (full grid for Lasso,
+    RANDOM_N_ITER['Lasso'] is None), Biome predictors — deterministic
+    end to end (sequential folds, no candidate sampling)."""
+    final = np.asarray(final, float)
+    filled = final.copy()
+    scores = []
+    for r, c in np.argwhere(final == GAP):
+        r, c = int(r), int(c)
+        rng = pixel_rng(seed, r, c)
+        code = extra[r, c]
+        masked = np.where(final == GAP, GAP, extra)
+        cands = np.argwhere(masked == code)
+        if len(cands) > 41:
+            sel = _k_nearest_first_index(cands, (r, c), 40)
+        else:
+            valid = np.argwhere(
+                (final != GAP) & (final != SKIP) & (final != NODATA))
+            chosen = valid[rng.permutation(len(valid))[:101]]
+            sel = _k_nearest_first_index(chosen, (r, c), 40)
+        coords = np.vstack([sel.astype(int), [(r, c)]])
+        hist = tensor[:, coords[:, 0], coords[:, 1]]
+        last = final[coords[:, 0], coords[:, 1]]
+        res = clean_frame_oracle(np.vstack([hist, last[None, :]]))
+        if isinstance(res, str):
+            filled[r, c] = SKIP
+            continue
+        X_train, y_train, X_test = res
+        pred, score = lasso_grid_fit_predict(
+            np.asarray(X_train, float), np.asarray(y_train, float).ravel(),
+            np.asarray(X_test, float))
+        filled[r, c] = pred
+        scores.append(score)
+    return filled, scores

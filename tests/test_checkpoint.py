@@ -60,3 +60,36 @@ def test_uncommitted_data_invisible(spark, inputs, tmp_path):
     orphan = os.path.join(table, "data", "snap-orphan")
     img_io.with_id_parts(filled.limit(2)).write.partitionBy("site", "role").parquet(orphan)
     assert img_io.load(spark, table).count() == 1
+
+
+def test_gapfill_balanced_checkpointed_bounded(spark, tmp_path):
+    """De-drivered balanced path: batches of 1 input per snapshot,
+    bit-identical to the one-shot variant, broadcasts released after
+    each commit, resume is a no-op."""
+    from ssgp_toolbox_spark.operators import gapfill, stats
+
+    df = generator.images_df(spark, sites=("stp",), n_history=4, n_inputs=2)
+    imgs = stats.with_stats(img_io.with_id_parts(df)).cache()
+    oneshot = {r["image_id"]: (bytes(r["bytes"]), r["filled_px"])
+               for r in gapfill.gapfill_balanced(
+                   imgs, predictor_configuration="Biome",
+                   params={"n_neighbors": 5}).collect()}
+    assert gapfill.release_broadcasts() >= 1
+
+    table = str(tmp_path / "gf_ckpt")
+    sids = gapfill.gapfill_balanced_checkpointed(
+        imgs, table, batch_rows=1, params={"n_neighbors": 5})
+    assert len(sids) == 2  # one snapshot per viable input
+    assert gapfill._LIVE_BROADCASTS == []  # nothing leaked
+
+    rows = img_io.load(spark, table).collect()
+    assert len(rows) == 2
+    for r in rows:
+        exp_bytes, exp_px = oneshot[r["image_id"]]
+        assert bytes(r["bytes"]) == exp_bytes
+        assert r["filled_px"] == exp_px
+        assert r["engine_config"]  # lineage present
+
+    # resume after completion: nothing remaining, no new snapshots
+    assert gapfill.gapfill_balanced_checkpointed(
+        imgs, table, batch_rows=1, params={"n_neighbors": 5}) == []

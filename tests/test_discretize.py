@@ -138,3 +138,22 @@ def test_fill_stack_pattern_vectorization_exact():
                 else:
                     s[g] = np.polyval(np.polyfit(known[idx].astype(float), vals, 1), g)
         assert np.allclose(ours, flat.reshape(stack.shape))
+
+
+@pytest.mark.parametrize("filling", ["median", "poly"])
+def test_tiled_fill_stage_equals_untiled(spark, scene, filling):
+    """(site, tile)-keyed temporal fill == whole-site fill, bit-exact
+    (the fill is per-pixel; tiling bounds memory, not semantics)."""
+    from ssgp_toolbox_spark.operators import discretize as dz
+
+    layers = _layers_df(spark, scene)
+    whole = {(r["site"], r["bucket"]): bytes(r["bytes"])
+             for r in dz.discretize(layers, "12H", averaging="weighted",
+                                    filling_method=filling).collect()}
+    tiled = {(r["site"], r["bucket"]): bytes(r["bytes"])
+             for r in dz.discretize(layers, "12H", averaging="weighted",
+                                    filling_method=filling,
+                                    tile=3).collect()}
+    assert whole.keys() == tiled.keys()
+    for k in whole:
+        assert whole[k] == tiled[k], k

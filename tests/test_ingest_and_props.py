@@ -149,3 +149,24 @@ def test_grid_nn_property(seed):
     pts = np.argwhere(valid)
     exp = nn.nn_fill_values(pts, m[pts[:, 0], pts[:, 1]], targets)
     assert np.array_equal(got, exp)
+
+
+def test_flip_vertical_matches_numpy_and_is_involution(spark):
+    """C9 decode-time swath flip (S3_L2_LST.py:157-159)."""
+    import numpy as np
+
+    from ssgp_toolbox_spark import codecs, generator
+    from ssgp_toolbox_spark.functions import ingest
+
+    imgs = generator.images_df(spark, sites=("stp",), n_history=2, n_inputs=1)
+    orig = {r["image_id"]: codecs.decode(bytes(r["bytes"]), r["h"], r["w"], r["fmt"])
+            for r in imgs.collect()}
+    once = ingest.flip_vertical(imgs)
+    for r in once.collect():
+        m = codecs.decode(bytes(r["bytes"]), r["h"], r["w"], r["fmt"])
+        assert np.array_equal(m, np.flip(orig[r["image_id"]], axis=0))
+        assert r["phash"] == codecs.phash64(m)
+    twice = ingest.flip_vertical(once)
+    for r in twice.collect():
+        m = codecs.decode(bytes(r["bytes"]), r["h"], r["w"], r["fmt"])
+        assert np.array_equal(m, orig[r["image_id"]])
