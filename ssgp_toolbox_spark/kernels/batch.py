@@ -168,6 +168,33 @@ def _biome_coords_batched(final, extra, gaps, seed, coord_offset=(0, 0)):
     return out
 
 
+def select_coords(final: np.ndarray, extra: np.ndarray | None,
+                  gaps: np.ndarray, predictor_configuration: str,
+                  seed: int, coord_offset: tuple[int, int] = (0, 0)) -> np.ndarray:
+    """Predictor coords (P, C, 2) for the given gap pixels, target
+    coord appended last — the selection block shared by the batched
+    kNN fill and the deep-history operator's coords pass. Per-pixel
+    deterministic (seeded RNG keyed on absolute coords), so any
+    gap-subset slicing yields identical coords per pixel."""
+    P = len(gaps)
+    if predictor_configuration == "Biome":
+        if extra is None:
+            raise ValueError("Biome mode requires the extra (zone) matrix")
+        return _biome_coords_batched(final, extra, gaps, seed, coord_offset)
+    if predictor_configuration == "Random":
+        return np.stack([
+            FR.select_random(final, (int(r), int(c)), FR._pixel_rng(seed, int(r), int(c)))
+            for r, c in gaps
+        ])
+    if predictor_configuration == "All":
+        base = np.argwhere(final != GAP)
+        coords = np.empty((P, len(base) + 1, 2), dtype=np.int64)
+        coords[:, :-1] = base[None, :, :]
+        coords[:, -1] = gaps
+        return coords
+    raise ValueError(f"unknown predictor_configuration {predictor_configuration!r}")
+
+
 def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
                    extra: np.ndarray | None = None,
                    predictor_configuration: str = "Biome",
@@ -202,33 +229,33 @@ def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
     P = len(gaps)
     if P == 0:
         return filled, []
-    # --- predictor coords (P, C, 2)
-    if predictor_configuration == "Biome":
-        if extra is None:
-            raise ValueError("Biome mode requires the extra (zone) matrix")
-        coords = _biome_coords_batched(final, extra, gaps, seed, coord_offset)
-    elif predictor_configuration == "Random":
-        coords = np.stack([
-            FR.select_random(final, (int(r), int(c)), FR._pixel_rng(seed, int(r), int(c)))
-            for r, c in gaps
-        ])
-    elif predictor_configuration == "All":
-        base = np.argwhere(final != GAP)
-        coords = np.empty((P, len(base) + 1, 2), dtype=np.int64)
-        coords[:, :-1] = base[None, :, :]
-        coords[:, -1] = gaps
-    else:
-        raise ValueError(f"unknown predictor_configuration {predictor_configuration!r}")
+    coords = select_coords(final, extra, gaps, predictor_configuration,
+                           seed, coord_offset)
 
-    L = tensor.shape[0]
-    C = coords.shape[1]
     hist = tensor[:, coords[..., 0], coords[..., 1]]        # (L, P, C)
     last = final[coords[..., 0], coords[..., 1]]            # (P, C)
+    preds, scores, skip_px = fill_gathered_knn(hist, last, k, weights, seed)
+    filled[gaps[skip_px, 0], gaps[skip_px, 1]] = SKIP
+    done = ~skip_px
+    filled[gaps[done, 0], gaps[done, 1]] = preds[done]
+    return filled, [float(s) for s in scores[done]]
+
+
+def fill_gathered_knn(hist: np.ndarray, last: np.ndarray, k: int,
+                      weights: str, seed: int):
+    """The post-gather core of ``fill_image_knn``: operates on the
+    pre-gathered frame blocks only — ``hist`` (L, P, C) history values
+    at each pixel's predictor coords (target coord last), ``last``
+    (P, C) final-image values at the same coords. Needs NO raster:
+    this is what lets the deep-history operator
+    (operators/deep_gapfill.py) ship per-chunk extracts instead of
+    whole layers. Returns (preds (P,), |CV-MAE| scores (P,),
+    skip mask (P,)); preds/scores are NaN where skip."""
+    P = last.shape[0]
     target_hist = hist[:, :, -1]                            # (L, P)
 
     # F5: any skip in the target column → output skip
     skip_px = (target_hist == SKIP).any(axis=0)
-    filled[gaps[skip_px, 0], gaps[skip_px, 1]] = SKIP
 
     # ---- batched frame cleaning (F5b/F6/F7/F8/A2 re-expressed) -----
     # Column *drops* become zero-masking: kNN uses only pairwise
@@ -283,10 +310,8 @@ def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
             scores[grp] = sc
 
     for s in np.flatnonzero(slow):
-        r, c = (int(v) for v in gaps[s])
         res = FR.clean_frame(np.vstack([hist[:, s, :], last[s][None, :]]))
         if isinstance(res, str):
-            filled[r, c] = SKIP
             skip_px[s] = True
             continue
         X_train, y_train, X_test = res
@@ -297,6 +322,4 @@ def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
         preds[s] = float(np.ravel(pr)[0])
         scores[s] = abs(float(np.ravel(sc).mean() if np.ndim(sc) else sc))
 
-    done = ~skip_px
-    filled[gaps[done, 0], gaps[done, 1]] = preds[done]
-    return filled, [float(s) for s in scores[done]]
+    return preds, scores, skip_px

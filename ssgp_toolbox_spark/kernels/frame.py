@@ -145,6 +145,42 @@ def clean_frame(frame: np.ndarray):
     return train[:, :-1], train[:, -1], test[:, :-1]
 
 
+def fill_gathered(hist: np.ndarray, last: np.ndarray, gaps: np.ndarray,
+                  method: str = "Lasso", hyperparameters: str = "Custom",
+                  params: dict | None = None, seed: int = 0):
+    """Per-pixel fill over PRE-GATHERED frame blocks — the generic-
+    method counterpart of ``batch.fill_gathered_knn``. ``hist``
+    (L, P, C) history values at each gap pixel's predictor coords
+    (target coord last), ``last`` (P, C) final-image values at the
+    same coords, ``gaps`` (P, 2) absolute pixel coords (used only for
+    the grid-search per-pixel seed salt). Per pixel this builds the
+    exact frame ``build_frame`` would ((L+1, C): history rows + final
+    row) and runs the same clean + fit pipeline as ``fill_image``, so
+    results are bit-identical — the deep-history operator relies on
+    that. Returns (preds (P,), |CV-MAE| scores (P,), skip mask (P,))."""
+    P = last.shape[0]
+    preds = np.full(P, np.nan)
+    scores = np.full(P, np.nan)
+    skip_px = np.zeros(P, dtype=bool)
+    for i in range(P):
+        res = clean_frame(np.vstack([hist[:, i, :], last[i][None, :]]))
+        if isinstance(res, str):  # 'skip'
+            skip_px[i] = True
+            continue
+        X_train, y_train, X_test = res
+        s = cv_seed(seed, len(y_train))
+        if hyperparameters in ("RandomGridSearch", "GridSearch"):
+            r, c = (int(v) for v in gaps[i])
+            s = (s * 69069 + r * 8191 + c * 131) % (2**63 - 1)
+        pred, score = regressors.fit_predict(
+            method, hyperparameters, params, X_train, y_train, X_test,
+            seed=s,
+        )
+        preds[i] = float(np.ravel(pred)[0])
+        scores[i] = abs(float(np.ravel(score).mean() if np.ndim(score) else score))
+    return preds, scores, skip_px
+
+
 def fill_image(final: np.ndarray, tensor: np.ndarray,
                extra: np.ndarray | None = None, method: str = "Knn",
                predictor_configuration: str = "Random",
