@@ -161,3 +161,43 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
                 * F.lit(2 ** b).cast("bigint"))
         sig = term if sig is None else sig + term
     return agg.select("doc_id", sig.alias("simhash"))
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        bits_per_table: int = 4, n_tables: int = 8,
+                        seed: int = 11) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup family,
+    over the embeddings table instead of text.
+
+    Candidate generation is multi-table random-hyperplane LSH (shared
+    seeded planes, simsearch.hyperplanes): two vectors are candidates
+    iff they share at least one table's full sign-bucket. Candidates
+    are then verified by exact f64 cosine >= ``threshold``. The pair
+    join only ever runs inside (table, bucket) groups — the shuffle
+    key at 10^12 rows — so cost is linear in corpus size; no
+    crossJoin anywhere in the plan.
+
+    Recall semantics: by the SimHash bound, a pair at cosine >= t
+    collides in one b-bit table with prob (1 - acos(t)/pi)^b; with
+    t=0.95, b=4, 8 tables that is 1-(1-0.66)^8 ≈ 0.9998. The operator
+    is deterministic given the seed, so an oracle reproducing the same
+    planes reproduces the exact output.
+    """
+    from ssgp_toolbox_spark.functions import simsearch
+
+    planes = simsearch.hyperplanes(bits_per_table * n_tables, seed=seed)
+    emb = embeddings.withColumn("emb", F.col("embedding").cast("array<double>"))
+    keys = simsearch.lsh_table_keys(F.col("emb"), planes, bits_per_table, n_tables)
+    buck = emb.select(
+        F.col("vec_id").alias("id"), F.col("emb"),
+        F.posexplode(keys).alias("tbl", "bucket"))
+    x, y = buck.alias("x"), buck.alias("y")
+    cand = (
+        x.join(y, ["tbl", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                F.round(simsearch._cosine(F.col("x.emb"), F.col("y.emb")), 6)
+                 .alias("sim"))
+        .distinct()  # a pair may collide in several tables
+    )
+    return cand.filter(F.col("sim") >= threshold)

@@ -12,12 +12,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# function-word markers for space-tokenized languages (top closed-class
+# words, mutually disjoint where they would collide: 'la' is es+fr but
+# each list also has unique members so real text separates cleanly)
 LANG_MARKERS = {
-    "en": ["the", "a", "and"],
-    "es": ["el", "la", "de"],
-    "fr": ["le", "la", "et"],
-    "de": ["der", "die", "und"],
-    "zh": ["de", "le", "he"],
+    "en": ["the", "and", "of", "to", "is", "that", "in"],
+    "es": ["el", "la", "los", "las", "que", "y", "una", "por"],
+    "fr": ["le", "les", "des", "une", "est", "dans", "et"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein"],
+}
+
+# script-range evidence for languages tokenization can't segment:
+# score = count of characters in the script's Unicode block (negated
+# class → regexp_replace strip + length, pure Catalyst / RE2-portable)
+SCRIPT_RANGES = {
+    "zh": "[^一-鿿]",   # CJK Unified Ideographs
+    "ru": "[^Ѐ-ӿ]",   # Cyrillic
 }
 
 
@@ -43,21 +54,26 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Marker-word language scoring; deterministic argmax (score desc,
-    language name asc). The operator shape of an n-gram language
-    identifier; markers are a fixed public list."""
+    """Language ID: function-word marker hits for space-tokenized
+    languages + script-range character counts for zh/ru; deterministic
+    argmax (score desc, language name asc). Public-knowledge heuristic
+    (closed-class word lists + Unicode blocks), exactly reproducible
+    in SQL — the oracle builds from the same constants."""
     toks = _tokens()
 
     def marker_score(markers):
         arr = F.array(*[F.lit(x) for x in markers])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
-    scores = [
-        marker_score(m).alias(f"score_{lang}")
-        for lang, m in sorted(LANG_MARKERS.items())
-    ]
+    def script_score(pattern):
+        return F.length(F.regexp_replace(F.col("text"), pattern, ""))
+
+    score_exprs = {lang: marker_score(m) for lang, m in LANG_MARKERS.items()}
+    score_exprs.update({lang: script_score(p) for lang, p in SCRIPT_RANGES.items()})
+    scores = [score_exprs[lang].alias(f"score_{lang}")
+              for lang in sorted(score_exprs)]
     scored = docs.select("doc_id", "lang", *scores)
-    langs = sorted(LANG_MARKERS)
+    langs = sorted(score_exprs)
     pairs = F.array(*[
         F.struct(F.col(f"score_{l}").alias("s"), F.lit(l).alias("l")) for l in langs
     ])

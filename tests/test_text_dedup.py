@@ -1,0 +1,50 @@
+"""Language-ID discrimination on real-language snippets and the
+embedding near-dup LSH join (crossJoin-free plan + planted recall)."""
+
+import numpy as np
+
+from ssgp_toolbox_spark.functions import dedup, text
+
+SNIPPETS = [
+    (1, "en", "the engine is that part of the plan that runs in the cluster"),
+    (2, "es", "el problema de la memoria es que los datos no caben y una parte"),
+    (3, "fr", "le moteur est dans les machines et une partie des resultats"),
+    (4, "de", "der plan ist nicht das problem und die daten sind ein teil"),
+    (5, "zh", "数据引擎在集群上运行并且填补空缺像素"),
+    (6, "ru", "данные и память работают в кластере а результат пишется"),
+]
+
+
+def test_lang_id_discriminates_real_text(spark):
+    df = spark.createDataFrame(SNIPPETS, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["predicted_lang"] for r in text.lang_id(df).collect()}
+    for doc_id, lang, _ in SNIPPETS:
+        assert got[doc_id] == lang, (doc_id, got[doc_id], lang)
+
+
+def _emb_df(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(v) for v in rng.standard_normal(64).round(6)]))
+    # two planted twins of row 0 and row 1
+    for j, src in enumerate([0, 1]):
+        twin = np.array(rows[src][1]) + 0.01 * rng.standard_normal(64)
+        rows.append((100 + j, [float(v) for v in twin.round(6)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dups_finds_planted_pairs(spark):
+    df = _emb_df(spark)
+    out = dedup.embedding_near_dups(df, threshold=0.95)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert (0, 100) in pairs and (1, 101) in pairs
+    # near-orthogonal corpus rows must not pair up
+    assert all(a >= 100 or b >= 100 for a, b in pairs)
+
+
+def test_embedding_near_dups_plan_has_no_cartesian(spark):
+    df = _emb_df(spark)
+    plan = dedup.embedding_near_dups(df)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
