@@ -171,6 +171,26 @@ def main():
         "phash": [oracles.phash64_oracle(filled9)],
     })
 
+    # ---- r11: S3 swath archive ingest (unzip → flags → flip → trim →
+    # geoloc NN warp). Expected grids from the naive per-pixel
+    # transcription (oracles.swath_ingest_oracle); the archives are the
+    # deterministic generator fixtures the Spark query ingests.
+    rows = {"image_id": [], "w": [], "h": [], "n_valid": [],
+            "n_gap": [], "n_skip": [], "phash": []}
+    for t in range(2):
+        zb = generator.s3_swath_archive(SITE, t)
+        grid = oracles.swath_ingest_oracle(
+            zb, generator.SWATH_EXTENT, *generator.SWATH_RES)
+        rows["image_id"].append(f"{SITE}/input/{generator.layer_ts(t)}")
+        rows["w"].append(grid.shape[1])
+        rows["h"].append(grid.shape[0])
+        rows["n_valid"].append(int(((grid != GAP) & (grid != oracles.SKIP)
+                                    & (grid != oracles.NODATA)).sum()))
+        rows["n_gap"].append(int((grid == GAP).sum()))
+        rows["n_skip"].append(int((grid == oracles.SKIP).sum()))
+        rows["phash"].append(oracles.phash64_oracle(grid))
+    write("r11_expected", rows)
+
     # ---- r08: per-image perceptual hashes (the pair join + hamming
     # filter runs in DuckDB SQL itself, brute-force — independently
     # re-deriving what the engine does with the banded LSH join)

@@ -262,3 +262,69 @@ def zones_df(spark, sites=("stp",)):
     for s in sites:
         rows.extend(zones_vector_rows(s))
     return spark.createDataFrame(rows, schema)
+
+
+# ------------------------------------------------------ swath archives
+
+SWATH_EXTENT = {"minX": 29.0, "minY": 59.0, "maxX": 31.0, "maxY": 60.5}
+SWATH_RES = (1000.0, 1000.0)
+
+
+def s3_swath_archive(site: str, t_index: int, h: int = 40, w: int = 32):
+    """Deterministic SEN3-style zip: classic-NetCDF members with the
+    reference's variable names (S3_L2_LST.py:101-141). The swath's
+    lat/lon sit exactly on target-grid cell centers (inverse UTM), so
+    the expected warp output is the cleaned grid itself — an exact,
+    loop-checkable oracle. Stored UNflipped (the preparator flips,
+    C9)."""
+    import io as _io
+    import zipfile
+
+    from ssgp_toolbox_spark import geometry
+    from ssgp_toolbox_spark.io import netcdf
+    from ssgp_toolbox_spark.operators import swath_ingest as SW
+
+    code, utm_ext = SW.utm_code_for_extent(SWATH_EXTENT)
+    x_res, y_res = SWATH_RES
+    utm_ext = dict(utm_ext)
+    utm_ext["maxX"] = utm_ext["minX"] + w * x_res
+    utm_ext["maxY"] = utm_ext["minY"] + h * y_res
+    zone = code % 100
+
+    grid = temperature_field(site, h, w, float(t_index))
+    cols, rows = np.meshgrid(np.arange(w), np.arange(h))
+    cx = utm_ext["minX"] + (cols + 0.5) * x_res
+    cy = utm_ext["maxY"] - (rows + 0.5) * y_res
+    lon, lat = geometry.utm_unproject(cx, cy, zone)
+
+    rng = _rng(site, "swath", t_index)
+    conf = np.zeros((h, w), dtype=np.int32)
+    bayes = np.zeros((h, w), dtype=np.int16)
+    biome = np.ones((h, w), dtype=np.int16)
+    conf[rng.random((h, w)) < 0.08] = SW.CLOUD_CONF_BIT + 1
+    bayes[rng.random((h, w)) < 0.03] = SW.CLOUD_BAYES_BIT
+    biome[sea_mask(site, h, w)] = 0
+
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("g/LST_in.nc",
+                    netcdf.write_netcdf({"LST": np.flip(grid, 0).copy()}))
+        zf.writestr("g/flags_in.nc", netcdf.write_netcdf(
+            {"confidence_in": np.flip(conf, 0).copy(),
+             "bayes_in": np.flip(bayes, 0).copy()}))
+        zf.writestr("g/geodetic_in.nc", netcdf.write_netcdf(
+            {"latitude_in": np.flip(lat, 0).copy(),
+             "longitude_in": np.flip(lon, 0).copy(),
+             "elevation_in": np.zeros((h, w))}))
+        zf.writestr("g/LST_ancillary_ds.nc",
+                    netcdf.write_netcdf({"biome": np.flip(biome, 0).copy()}))
+    return buf.getvalue()
+
+
+def swath_archives_df(spark, sites=("stp",), n: int = 2):
+    """Swath-archive rows for the ingest query (SWATH_SCHEMA)."""
+    from ssgp_toolbox_spark.operators import swath_ingest as SW
+
+    rows = [(site, layer_ts(t), bytearray(s3_swath_archive(site, t)))
+            for site in sites for t in range(n)]
+    return spark.createDataFrame(rows, SW.SWATH_SCHEMA)

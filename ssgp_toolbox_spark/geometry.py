@@ -168,6 +168,50 @@ def utm_project(lon, lat, zone: int, south: bool = False):
     return x, y
 
 
+def utm_unproject(x, y, zone: int, south: bool = False):
+    """UTM → WGS84 (inverse Transverse Mercator, Snyder series) — the
+    inverse of ``utm_project``: round-trips to < 1e-6 deg (~0.1 m) at
+    mid-latitudes (property-tested). Needed to place target-grid cell
+    centers back on the swath's lat/lon plane (geoloc warp) without
+    pyproj. Returns (lon, lat) in degrees."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    a, f, k0 = _WGS84_A, _WGS84_F, _K0
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    lam0 = np.deg2rad((zone - 1) * 6 - 180 + 3)
+    xs = x - 500000.0
+    ys = y - 10_000_000.0 if south else y
+    M = ys / k0
+    mu = M / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    C1 = ep2 * cos1**2
+    T1 = tan1**2
+    N1 = a / np.sqrt(1 - e2 * sin1**2)
+    R1 = a * (1 - e2) / (1 - e2 * sin1**2) ** 1.5
+    D = xs / (N1 * k0)
+    lat = phi1 - (N1 * tan1 / R1) * (
+        D**2 / 2
+        - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * ep2 - 3 * C1**2)
+        * D**6 / 720
+    )
+    lon = lam0 + (
+        D - (1 + 2 * T1 + C1) * D**3 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * ep2 + 24 * T1**2)
+        * D**5 / 120
+    ) / cos1
+    return np.rad2deg(lon), np.rad2deg(lat)
+
+
 # ------------------------------------------------------------ Spark ops
 
 EXTRA_SCHEMA = T.StructType([

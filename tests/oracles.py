@@ -561,3 +561,74 @@ def gapfill_lasso_grid_image_oracle(final, tensor, extra, seed):
         filled[r, c] = pred
         scores.append(score)
     return filled, scores
+
+
+def swath_ingest_oracle(zip_bytes, extent, x_res, y_res):
+    """NAIVE per-pixel transcription of the S3 preparator chain
+    (S3_L2_LST.py:93-234): explicit loops for flag decode, flip,
+    lat-band trim, and a per-target-cell nearest-point warp. Only the
+    forward UTM projection is shared (a closed-form math primitive)."""
+    import io
+    import zipfile
+
+    from ssgp_toolbox_spark import geometry
+    from ssgp_toolbox_spark.io import netcdf
+
+    CLOUD_CONF_BIT, CLOUD_BAYES_BIT, LAT_MARGIN_DEG = 16384, 2, 10.0
+
+    def utm_code_for_extent(ext):
+        # independent transcription of S3_L2_LST.py:66-88
+        base = 32700 if (ext["minY"] + ext["maxY"]) / 2 < 0 else 32600
+        zone = int(((ext["minX"] + ext["maxX"]) / 2 + 180) / 6.0 % 60) + 1
+        south = base == 32700
+        x0, y0 = geometry.utm_project(ext["minX"], ext["minY"], zone, south=south)
+        x1, y1 = geometry.utm_project(ext["maxX"], ext["maxY"], zone, south=south)
+        return base + zone, {"minX": float(x0), "minY": float(y0),
+                             "maxX": float(x1), "maxY": float(y1)}
+
+    arrs = {}
+    with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
+        for m in zf.namelist():
+            v, _ = netcdf.read_netcdf(zf.read(m))
+            arrs.update({k: np.asarray(a) for k, a in v.items()})
+    lst = arrs["LST"].astype(np.float64).copy()
+    h, w = lst.shape
+    for r in range(h):
+        for c in range(w):
+            if int(arrs["confidence_in"][r, c]) & CLOUD_CONF_BIT:
+                lst[r, c] = GAP
+            if int(arrs["bayes_in"][r, c]) & CLOUD_BAYES_BIT:
+                lst[r, c] = GAP
+            if int(arrs["biome"][r, c]) == 0:
+                lst[r, c] = SKIP
+    # explicit flip
+    flip = lambda a: a[::-1, :].copy()
+    lst, lat, lon = flip(lst), flip(arrs["latitude_in"].astype(np.float64)), \
+        flip(arrs["longitude_in"].astype(np.float64))
+    hi = extent["maxY"] + LAT_MARGIN_DEG
+    lo = extent["minY"] - LAT_MARGIN_DEG
+    keep_rows = [r for r in range(h)
+                 if all(lo <= lat[r, c] <= hi for c in range(w))]
+    lst, lat, lon = lst[keep_rows], lat[keep_rows], lon[keep_rows]
+
+    code, utm_ext = utm_code_for_extent(extent)
+    zone, south = code % 100, code // 100 == 327
+    gw = max(int(np.ceil((utm_ext["maxX"] - utm_ext["minX"]) / x_res)), 1)
+    gh = max(int(np.ceil((utm_ext["maxY"] - utm_ext["minY"]) / y_res)), 1)
+    best = {}
+    for r in range(lst.shape[0]):
+        for c in range(lst.shape[1]):
+            x, y = geometry.utm_project(lon[r, c], lat[r, c], zone, south=south)
+            col = int(np.floor((x - utm_ext["minX"]) / x_res))
+            row = int(np.floor((utm_ext["maxY"] - y) / y_res))
+            if not (0 <= col < gw and 0 <= row < gh):
+                continue
+            ccx = utm_ext["minX"] + (col + 0.5) * x_res
+            ccy = utm_ext["maxY"] - (row + 0.5) * y_res
+            d2 = (x - ccx) ** 2 + (y - ccy) ** 2
+            if (row, col) not in best or d2 < best[(row, col)][0]:
+                best[(row, col)] = (d2, lst[r, c])
+    grid = np.full((gh, gw), NODATA, dtype=np.float64)
+    for (row, col), (_, v) in best.items():
+        grid[row, col] = v
+    return grid
