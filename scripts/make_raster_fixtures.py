@@ -191,6 +191,29 @@ def main():
         rows["phash"].append(oracles.phash64_oracle(grid))
     write("r11_expected", rows)
 
+    # ---- r12: MODIS A1/A2 sinusoidal tile ingest (QC policy → scale →
+    # sentinels → sinusoidal inverse → NN warp); expected grids from
+    # the naive transcription (oracles.modis_ingest_oracle)
+    rows = {"image_id": [], "w": [], "h": [], "n_valid": [],
+            "n_gap": [], "n_skip": [], "phash": []}
+    for t in range(2):
+        lst_raw, qc = generator.modis_tile(SITE, t)
+        grid = oracles.modis_ingest_oracle(
+            lst_raw, qc, generator.MODIS_GT, generator.SWATH_EXTENT,
+            *generator.SWATH_RES)
+        ts = f"2019{254 + t:03d}"
+        import datetime as _dt
+        ts = _dt.datetime.strptime(ts, "%Y%j").strftime("%Y%m%dT%H%M%S")
+        rows["image_id"].append(f"{SITE}/input/{ts}")
+        rows["w"].append(grid.shape[1])
+        rows["h"].append(grid.shape[0])
+        rows["n_valid"].append(int(((grid != GAP) & (grid != oracles.SKIP)
+                                    & (grid != oracles.NODATA)).sum()))
+        rows["n_gap"].append(int((grid == GAP).sum()))
+        rows["n_skip"].append(int((grid == oracles.SKIP).sum()))
+        rows["phash"].append(oracles.phash64_oracle(grid))
+    write("r12_expected", rows)
+
     # ---- r08: per-image perceptual hashes (the pair join + hamming
     # filter runs in DuckDB SQL itself, brute-force — independently
     # re-deriving what the engine does with the banded LSH join)

@@ -328,3 +328,39 @@ def swath_archives_df(spark, sites=("stp",), n: int = 2):
     rows = [(site, layer_ts(t), bytearray(s3_swath_archive(site, t)))
             for site in sites for t in range(n)]
     return spark.createDataFrame(rows, SW.SWATH_SCHEMA)
+
+
+# MODIS sinusoidal tile fixture: regular sinusoidal grid covering the
+# SWATH_EXTENT region (x = R·λ·cosφ, y = R·φ; R = 6371007.181)
+MODIS_GT = (1.55e6, 1000.0, 0.0, 6.75e6, 0.0, -1000.0)
+MODIS_HW = (200, 250)
+
+
+def modis_tile(site: str, t_index: int):
+    """Deterministic raw (lst_int16, qc_int16) MODIS-like tile."""
+    h, w = MODIS_HW
+    grid = temperature_field(site, h, w, float(t_index) + 0.5)
+    lst_raw = np.round(grid * 50.0).astype(np.int16)
+    rng = _rng(site, "modisqc", t_index)
+    # two-bit QC classes: mostly 00 (ok), some 01/10 (gaps), 11 (skip)
+    qc = rng.choice(np.array([0, 0, 0, 0, 0, 1, 2, 3], dtype=np.int16),
+                    size=(h, w))
+    qc[rng.random((h, w)) < 0.01] = -1  # srcNodata rows → NoData
+    return lst_raw, qc
+
+
+def modis_tiles_df(spark, sites=("stp",), n: int = 2):
+    """MODIS tile rows for the ingest query (MODIS_SCHEMA); file names
+    carry the A%Y%j acquisition-date convention (doy 254 = 2019-09-11
+    + t)."""
+    from ssgp_toolbox_spark.operators import swath_ingest as SW
+
+    rows = []
+    for site in sites:
+        for t in range(n):
+            lst_raw, qc = modis_tile(site, t)
+            fname = f"MYD11A1.A2019{254 + t:03d}.h20v03.006.x.hdf"
+            rows.append((site, fname, lst_raw.astype("<i2").tobytes(),
+                         qc.astype("<i2").tobytes(),
+                         MODIS_HW[0], MODIS_HW[1], list(MODIS_GT)))
+    return spark.createDataFrame(rows, SW.MODIS_SCHEMA)

@@ -208,3 +208,119 @@ def ingest_s3_archives(swaths: DataFrame, extent: dict,
             yield pd.DataFrame(out)
 
     return swaths.mapInPandas(fn, _OUT_SCHEMA)
+
+
+# ------------------------------------------------- MODIS (MOD/MYD 11)
+
+# MODIS sinusoidal sphere radius (the reference's proj4 literal
+# '+proj=sinu ... +a=6371007.181 +b=6371007.181', MODIS_MOD_MYD_11.py:154)
+MODIS_SPHERE_R = 6371007.181
+
+
+def modis_quality(qc: np.ndarray, qa_policy: int = 0) -> np.ndarray:
+    """Two-bit QC → quality classes 0=OK 1=Gap 2=Skip 3=NoData
+    (MODIS_MOD_MYD_11.py:105-129). qa_policy 0 treats '01' (other
+    quality) as gap; policy 1 accepts it. srcNodata=-1 semantics:
+    -1 rows become NoData (the reference's gdal.Warp srcNodata=-1 →
+    dstNodata=-32768 hop, line 164)."""
+    q = np.asarray(qc, dtype=np.int64)
+    q = np.where(q == -1, -32768, q)
+    two = q & 3
+    quality = np.zeros(q.shape, dtype=np.int8)
+    if qa_policy == 0:
+        quality[(two == 1) | (two == 2)] = 1
+    else:
+        quality[two == 2] = 1
+    quality[two == 3] = 2
+    quality[q == -32768] = 3
+    return quality
+
+
+def sinusoidal_to_latlon(x, y, radius: float = MODIS_SPHERE_R):
+    """Inverse sinusoidal (sphere): lat = y/R, lon = x/(R·cos lat)."""
+    lat = np.rad2deg(np.asarray(y, dtype=np.float64) / radius)
+    lon = np.rad2deg(np.asarray(x, dtype=np.float64)
+                     / (radius * np.cos(np.deg2rad(lat))))
+    return lon, lat
+
+
+def modis_grid_latlon(geotransform, h: int, w: int):
+    """Pixel-center lat/lon of a sinusoidal MODIS tile.
+    ``geotransform`` is the GDAL 6-tuple (x0, dx, 0, y0, 0, dy<0)."""
+    x0, dx, _, y0, _, dy = geotransform
+    cols, rows = np.meshgrid(np.arange(w), np.arange(h))
+    x = x0 + (cols + 0.5) * dx
+    y = y0 + (rows + 0.5) * dy
+    return sinusoidal_to_latlon(x, y)
+
+
+def prepare_modis_lst(lst_raw: np.ndarray, qc: np.ndarray,
+                      qa_policy: int = 0) -> np.ndarray:
+    """Scale + sentinel assignment on the SOURCE sinusoidal grid,
+    exactly the A1/A2 order (scale /50.0 then quality overrides,
+    MODIS_MOD_MYD_11.py:171-177; both stay on the source grid — the
+    UTM warp happens last, archive_to_npy:215-216)."""
+    quality = modis_quality(qc, qa_policy)
+    m = np.asarray(lst_raw, dtype=np.float64) / 50.0
+    m[quality == 1] = GAP
+    m[quality == 2] = SKIP
+    m[quality == 3] = NODATA
+    return m
+
+
+def modis_datetime(file_name: str) -> str:
+    """Acquisition timestamp from the MODIS archive name
+    (MODIS_MOD_MYD_11.py:31-40): L2 'A%Y%j%H%M', A1/A2 'A%Y%j'."""
+    from datetime import datetime as _dt
+
+    parts = file_name.split(".")
+    tag = parts[0][-2:]  # 'L2'/'A1'/'A2' suffix of MOD11/MYD11 name
+    if tag == "L2":
+        return _dt.strptime(parts[1] + parts[2], "A%Y%j%H%M").strftime(
+            "%Y%m%dT%H%M%S")
+    return _dt.strptime(parts[1], "A%Y%j").strftime("%Y%m%dT%H%M%S")
+
+
+MODIS_SCHEMA = T.StructType([
+    T.StructField("site", T.StringType()),
+    T.StructField("file_name", T.StringType()),   # MOD11A1.A2020048...
+    T.StructField("lst", T.BinaryType()),          # int16 LE raw LST
+    T.StructField("qc", T.BinaryType()),           # int16 LE QC
+    T.StructField("h", T.IntegerType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("gt", T.ArrayType(T.DoubleType())),  # sinusoidal geotransform
+])
+
+
+def ingest_modis_grids(tiles: DataFrame, extent: dict, x_res: float,
+                       y_res: float, qa_policy: int = 0,
+                       role: str = "input") -> DataFrame:
+    """MODIS A1/A2 tile rows (pre-extracted subdataset arrays — the
+    HDF4 container itself is the gated step, like HDF5 for S3) →
+    QC-masked, scaled, UTM-warped grid rows in the input_hint schema.
+    Same embarrassingly-parallel shape as the S3 ingest."""
+    utm_code, utm_extent = utm_code_for_extent(extent)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _OUT_SCHEMA.fieldNames()}
+            for r in pdf.itertuples(index=False):
+                h, w = int(r.h), int(r.w)
+                lst_raw = np.frombuffer(bytes(r.lst), "<i2").reshape(h, w)
+                qc = np.frombuffer(bytes(r.qc), "<i2").reshape(h, w)
+                m = prepare_modis_lst(lst_raw, qc, qa_policy)
+                lon, lat = modis_grid_latlon(tuple(r.gt), h, w)
+                grid = warp_to_grid(m, lat, lon, utm_code, utm_extent,
+                                    x_res, y_res)
+                ts = modis_datetime(r.file_name)
+                out["image_id"].append(f"{r.site}/{role}/{ts}")
+                out["bytes"].append(codecs.encode(grid, codecs.FMT_F64))
+                out["w"].append(grid.shape[1])
+                out["h"].append(grid.shape[0])
+                out["fmt"].append(codecs.FMT_F64)
+                out["caption"].append(
+                    f"MODIS LST {r.site} {ts} EPSG:{utm_code}")
+                out["phash"].append(codecs.phash64(grid))
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(fn, _OUT_SCHEMA)

@@ -632,3 +632,58 @@ def swath_ingest_oracle(zip_bytes, extent, x_res, y_res):
     for (row, col), (_, v) in best.items():
         grid[row, col] = v
     return grid
+
+
+def modis_ingest_oracle(lst_raw, qc, geotransform, extent, x_res, y_res,
+                        qa_policy=0):
+    """NAIVE transcription of the MODIS A1/A2 chain
+    (MODIS_MOD_MYD_11.py:105-129, 154-216): per-pixel loops for the
+    two-bit QC policy, /50 scale, sentinel overrides, closed-form
+    sinusoidal inverse, and the per-cell nearest warp."""
+    from ssgp_toolbox_spark import geometry
+
+    R = 6371007.181
+    h, w = lst_raw.shape
+    base = 32700 if (extent["minY"] + extent["maxY"]) / 2 < 0 else 32600
+    zone = int(((extent["minX"] + extent["maxX"]) / 2 + 180) / 6.0 % 60) + 1
+    south = base == 32700
+    x0e, y0e = geometry.utm_project(extent["minX"], extent["minY"], zone, south=south)
+    x1e, y1e = geometry.utm_project(extent["maxX"], extent["maxY"], zone, south=south)
+    gw = max(int(np.ceil((x1e - x0e) / x_res)), 1)
+    gh = max(int(np.ceil((y1e - y0e) / y_res)), 1)
+
+    gx0, dx, _, gy0, _, dy = geotransform
+    best = {}
+    for r in range(h):
+        for c in range(w):
+            q = int(qc[r, c])
+            if q == -1:
+                q = -32768
+            two = q & 3
+            if q == -32768:
+                v = NODATA
+            elif two == 3:
+                v = SKIP
+            elif (qa_policy == 0 and two in (1, 2)) or \
+                 (qa_policy == 1 and two == 2):
+                v = GAP
+            else:
+                v = float(lst_raw[r, c]) / 50.0
+            sx = gx0 + (c + 0.5) * dx
+            sy = gy0 + (r + 0.5) * dy
+            lat = np.rad2deg(sy / R)
+            lon = np.rad2deg(sx / (R * np.cos(np.deg2rad(lat))))
+            X, Y = geometry.utm_project(lon, lat, zone, south=south)
+            col = int(np.floor((X - x0e) / x_res))
+            row = int(np.floor((y1e - Y) / y_res))
+            if not (0 <= col < gw and 0 <= row < gh):
+                continue
+            ccx = x0e + (col + 0.5) * x_res
+            ccy = y1e - (row + 0.5) * y_res
+            d2 = (X - ccx) ** 2 + (Y - ccy) ** 2
+            if (row, col) not in best or d2 < best[(row, col)][0]:
+                best[(row, col)] = (d2, v)
+    grid = np.full((gh, gw), NODATA, dtype=np.float64)
+    for (row, col), (_, v) in best.items():
+        grid[row, col] = v
+    return grid

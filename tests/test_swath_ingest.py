@@ -197,3 +197,62 @@ def test_engine_matches_naive_oracle():
         grid = SW.warp_to_grid(m, lats, lons, code, utm_ext,
                                *generator.SWATH_RES)
         assert np.array_equal(grid, naive)
+
+
+def test_modis_quality_policies():
+    qc = np.array([[0, 1, 2, 3, -1, 64 + 1]], dtype=np.int16)
+    q0 = SW.modis_quality(qc, qa_policy=0)
+    assert q0.tolist() == [[0, 1, 1, 2, 3, 1]]
+    q1 = SW.modis_quality(qc, qa_policy=1)
+    assert q1.tolist() == [[0, 0, 1, 2, 3, 0]]
+
+
+def test_sinusoidal_inverse_known_points():
+    R = SW.MODIS_SPHERE_R
+    lon, lat = SW.sinusoidal_to_latlon(0.0, R * np.deg2rad(60.0))
+    assert abs(lat - 60.0) < 1e-9 and abs(lon) < 1e-9
+    x = R * np.deg2rad(30.0) * np.cos(np.deg2rad(60.0))
+    lon, lat = SW.sinusoidal_to_latlon(x, R * np.deg2rad(60.0))
+    assert abs(lon - 30.0) < 1e-9
+
+
+def test_modis_datetime_parsing():
+    assert SW.modis_datetime("MYD11A1.A2019254.h20v03.006.x.hdf") == \
+        "20190911T000000"
+    assert SW.modis_datetime("MOD11_L2.A2020048.1915.006.x.hdf") == \
+        "20200217T191500"
+
+
+def test_modis_engine_matches_naive_oracle():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import oracles
+
+    from ssgp_toolbox_spark import generator
+
+    for t in range(2):
+        lst_raw, qc = generator.modis_tile("stp", t)
+        naive = oracles.modis_ingest_oracle(
+            lst_raw, qc, generator.MODIS_GT, generator.SWATH_EXTENT,
+            *generator.SWATH_RES)
+        m = SW.prepare_modis_lst(lst_raw, qc, qa_policy=0)
+        lon, lat = SW.modis_grid_latlon(generator.MODIS_GT, *lst_raw.shape)
+        code, utm_ext = SW.utm_code_for_extent(generator.SWATH_EXTENT)
+        grid = SW.warp_to_grid(m, lat, lon, code, utm_ext,
+                               *generator.SWATH_RES)
+        assert np.array_equal(grid, naive)
+        assert (grid != NODATA).sum() > 0
+
+
+def test_ingest_modis_grids_spark(spark):
+    from ssgp_toolbox_spark import generator
+
+    tiles = generator.modis_tiles_df(spark, sites=("stp",), n=1)
+    out = SW.ingest_modis_grids(
+        tiles, generator.SWATH_EXTENT, *generator.SWATH_RES).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["image_id"] == "stp/input/20190911T000000"
+    got = codecs.decode(bytes(r["bytes"]), r["h"], r["w"], r["fmt"])
+    assert (got != NODATA).sum() > 0
+    assert (got == GAP).sum() > 0 and (got == SKIP).sum() > 0
