@@ -109,6 +109,22 @@ def bench_rasters(spark, timings: dict) -> dict:
     timings["gapfill_knn_biome"] = round(dt, 3)
     extras = {"gapfill_px_per_sec": round(filled_px / dt, 1), "gapfill_px": int(filled_px)}
 
+    # deep-history path: same fill, but no stacked history anywhere —
+    # the bounded-memory plan (operators/deep_gapfill.py). Reported so
+    # the depth-robust path's throughput cost vs the broadcast path is
+    # a measured number, not a guess.
+    from ssgp_toolbox_spark.operators import deep_gapfill
+
+    t0 = time.time()
+    dout = deep_gapfill.gapfill_deep(imgs, method="Knn",
+                                     predictor_configuration="Biome",
+                                     hyperparameters="Custom",
+                                     params={"n_neighbors": 5}, chunk_px=1024)
+    deep_px = dout.agg(F.sum("filled_px")).collect()[0][0] or 0
+    dt = time.time() - t0
+    timings["gapfill_deep"] = round(dt, 3)
+    extras["gapfill_deep_px_per_sec"] = round(deep_px / dt, 1)
+
     # plain zero-shuffle NN path: at this scale the chunked variant's
     # two shuffles cost more than they save (it exists for skew/scale)
     t0 = time.time()
