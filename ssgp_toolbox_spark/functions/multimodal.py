@@ -78,3 +78,122 @@ def extract_features(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         _extract_batches, FEATURE_SCHEMA
     )
+
+
+# -------------------------------------------------- resize (REAL path)
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+])
+
+
+def resize_kernel(m: np.ndarray, out_h: int, out_w: int,
+                  method: str = "bilinear") -> np.ndarray:
+    """Numpy resize. 'nearest': pixel-center index map (the standard
+    half-pixel convention). 'bilinear': separable interpolation with
+    edge clamp. Both vectorized; no image library."""
+    h, w = m.shape
+    if method == "nearest":
+        rows = np.clip(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), 0, h - 1)
+        cols = np.clip(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), 0, w - 1)
+        return m[rows[:, None], cols[None, :]]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :]
+    top = m[y0[:, None], x0[None, :]] * (1 - wx) + m[y0[:, None], x1[None, :]] * wx
+    bot = m[y1[:, None], x0[None, :]] * (1 - wx) + m[y1[:, None], x1[None, :]] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_images(images: DataFrame, out_h: int, out_w: int,
+                  method: str = "bilinear") -> DataFrame:
+    """Batch image resize — REAL (not stubbed) for the engine's own
+    formats; zero shuffle (mapInPandas over the scan). External
+    formats would decode via the decode_external hook on a real
+    cluster."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in RESIZE_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt) \
+                    if row.fmt in KNOWN_FMTS else decode_external(row.bytes, row.fmt)
+                r = resize_kernel(m, out_h, out_w, method)
+                out["image_id"].append(row.image_id)
+                out["bytes"].append(codecs.encode(r, codecs.FMT_F64))
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+                out["fmt"].append(codecs.FMT_F64)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        fn, RESIZE_SCHEMA)
+
+
+# --------------------------------------- video frame sampling (stack)
+
+# 'stack-f64': the engine's own trivial video container — n_frames
+# concatenated row-major f64 rasters. External containers (mp4 etc.)
+# go through the decode_external gate.
+FMT_STACK = "stack-f64"
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+])
+
+
+def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """Deterministic frame sampling: frames 0, n, 2n, … of each video
+    payload become image rows (ready for dedup/features/resize).
+    One video per task; Arrow batches carry only sampled frames."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in FRAME_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                if row.fmt != FMT_STACK:
+                    decode_external(row.bytes, row.fmt)  # gate
+                h, w, n = int(row.h), int(row.w), int(row.n_frames)
+                stack = np.frombuffer(row.bytes, dtype="<f8",
+                                      count=n * h * w).reshape(n, h, w)
+                for i in range(0, n, every_n):
+                    out["video_id"].append(row.video_id)
+                    out["frame_idx"].append(i)
+                    out["bytes"].append(codecs.encode(stack[i], codecs.FMT_F64))
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["fmt"].append(codecs.FMT_F64)
+            yield pd.DataFrame(out)
+
+    return videos.select("video_id", "bytes", "n_frames", "h", "w", "fmt") \
+        .mapInPandas(fn, FRAME_SCHEMA)
+
+
+# ----------------------------------------------- audio resample (PCM)
+
+def resample_audio_kernel(x: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
+    """Linear-interpolation PCM resample (sample-center convention) —
+    the real kernel behind the audio path; container decode (mp3 etc.)
+    is the gated step."""
+    n_out = int(round(len(x) * rate_out / rate_in))
+    if n_out <= 1 or len(x) == 0:
+        return x[:n_out].astype(np.float64)
+    pos = np.arange(n_out) * (len(x) - 1) / (n_out - 1)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, len(x) - 1)
+    frac = pos - i0
+    return x[i0] * (1 - frac) + x[i1] * frac

@@ -197,3 +197,41 @@ def tile_neighbors_df(tiles_df: DataFrame) -> DataFrame:
         .drop("_o")
         .filter((F.col("owner_tx") >= 0) & (F.col("owner_ty") >= 0))
     )
+
+
+# ------------------------------------------------- histogram salting
+
+
+def salted_repartition(df: DataFrame, cell_col: str, row_key: str,
+                       threshold: int = 10_000,
+                       n_partitions: int | None = None) -> DataFrame:
+    """Histogram-driven skew salting (north_rule): compute the cell
+    histogram, split every cell whose row count exceeds ``threshold``
+    into ``ceil(count / threshold)`` salt buckets, and repartition on
+    (cell, salt). A hot cell (a megacity's pixel density, a 96%-cloud
+    scene) fans out across tasks instead of serializing one.
+
+    Why explicit: AQE's skewJoin rebalances *join* shuffles but not
+    grouped-map (``applyInPandas``) keys — for those the salt must be
+    part of the key, which only the application can decide
+    (SURVEY.md §6 'none (skew)' row).
+
+    The salt is deterministic (xxhash64 of the row key, mod the cell's
+    bucket count) so retries and resumes land rows in the same bucket.
+    The histogram is one cheap count aggregation, broadcast-joined
+    back (cells are few relative to rows); cold cells miss the join
+    and default to salt 0. Returns the repartitioned frame with a ``salt``
+    column the caller may group by alongside the cell."""
+    hist = (df.groupBy(cell_col)
+            .agg(F.count("*").alias("_cnt"))
+            .filter(F.col("_cnt") > threshold)
+            .select(cell_col,
+                    F.ceil(F.col("_cnt") / threshold).cast("int").alias("_buckets")))
+    out = (df.join(F.broadcast(hist), cell_col, "left")
+           .withColumn("salt",
+                       F.when(F.col("_buckets").isNull(), F.lit(0))
+                        .otherwise(F.pmod(F.xxhash64(F.col(row_key)),
+                                          F.col("_buckets")).cast("int")))
+           .drop("_buckets"))
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 4
+    return out.repartition(parts, F.col(cell_col), F.col("salt"))

@@ -117,3 +117,29 @@ def test_stateful_phash_dedup(spark, tmp_path):
     assert got["img-a"] and got["img-b"] and got["img-c"]
     assert not got["img-a2"]          # exact redelivery dropped
     assert not got["img-b2"]          # hamming-1 near-dup dropped
+
+
+def test_streaming_swath_ingest_equals_batch(spark, tmp_path):
+    """The swath ingest operator is a stateless mapInPandas, so the
+    SAME code runs under readStream: granules arriving as a stream
+    produce exactly the batch rows (continuous-ingest story for the
+    north_rule pipeline)."""
+    from ssgp_toolbox_spark import generator
+    from ssgp_toolbox_spark.operators import swath_ingest as SW
+
+    src = str(tmp_path / "swaths")
+    batch_df = generator.swath_archives_df(spark, sites=("stp",), n=2)
+    batch_df.write.parquet(src)
+    expected = {r["image_id"]: (r["phash"], r["w"], r["h"]) for r in
+                SW.ingest_s3_archives(batch_df, generator.SWATH_EXTENT,
+                                      *generator.SWATH_RES).collect()}
+
+    stream = spark.readStream.schema(SW.SWATH_SCHEMA).parquet(src)
+    out = SW.ingest_s3_archives(stream, generator.SWATH_EXTENT,
+                                *generator.SWATH_RES)
+    q = (out.writeStream.format("memory").queryName("swath_ingest_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["image_id"]: (r["phash"], r["w"], r["h"]) for r in
+           spark.sql("SELECT * FROM swath_ingest_t").collect()}
+    assert got == expected

@@ -90,3 +90,28 @@ def test_tile_neighbors_df(spark):
            .collect())
     # owner (0,0) receives itself + (1,0) + (0,1) + (1,1) = 4 tiles
     assert grp[0]["n"] == 4
+
+
+def test_salted_repartition_bounds_hot_cells(spark):
+    """A 100x-hot cell fans out into ~count/threshold salt buckets;
+    cold cells keep salt 0; bucket assignment is deterministic."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ssgp_toolbox_spark import tiling
+
+    rows = [(9001, f"hot-{i}") for i in range(2000)] + \
+           [(c, f"cold-{c}-{i}") for c in range(10) for i in range(20)]
+    df = spark.createDataFrame(rows, "cell long, image_id string")
+    out = tiling.salted_repartition(df, "cell", "image_id", threshold=250)
+    pdf = out.groupBy("cell", "salt").count().toPandas()
+    hot = pdf[pdf.cell == 9001]
+    assert hot.salt.nunique() == 8                      # ceil(2000/250)
+    assert hot["count"].max() <= 2.0 * 250              # hash balance
+    cold = pdf[pdf.cell != 9001]
+    assert (cold.salt == 0).all()
+    # determinism: same salt for the same row on a second run
+    out2 = tiling.salted_repartition(df, "cell", "image_id", threshold=250)
+    a = {r["image_id"]: r["salt"] for r in out.select("image_id", "salt").collect()}
+    b = {r["image_id"]: r["salt"] for r in out2.select("image_id", "salt").collect()}
+    assert a == b
