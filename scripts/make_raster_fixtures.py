@@ -214,6 +214,36 @@ def main():
         rows["phash"].append(oracles.phash64_oracle(grid))
     write("r12_expected", rows)
 
+    # ---- r13: bilinear resize of the two input rasters to 64×48;
+    # expected values from a NAIVE per-pixel bilinear loop
+    def naive_bilinear(m, out_h, out_w):
+        hh, ww = m.shape
+        out = np.empty((out_h, out_w))
+        for i in range(out_h):
+            for j in range(out_w):
+                fy = (i + 0.5) * hh / out_h - 0.5
+                fx = (j + 0.5) * ww / out_w - 0.5
+                y0 = min(max(int(np.floor(fy)), 0), hh - 1)
+                x0 = min(max(int(np.floor(fx)), 0), ww - 1)
+                y1, x1 = min(y0 + 1, hh - 1), min(x0 + 1, ww - 1)
+                wy = min(max(fy - y0, 0.0), 1.0)
+                wx = min(max(fx - x0, 0.0), 1.0)
+                out[i, j] = (m[y0, x0] * (1 - wy) * (1 - wx)
+                             + m[y0, x1] * (1 - wy) * wx
+                             + m[y1, x0] * wy * (1 - wx)
+                             + m[y1, x1] * wy * wx)
+        return out
+
+    rows = {"image_id": [], "w": [], "h": [], "mean_px_raw": [], "phash": []}
+    for iid, m in inputs:
+        r = naive_bilinear(m, 64, 48)
+        rows["image_id"].append(iid)
+        rows["w"].append(48)
+        rows["h"].append(64)
+        rows["mean_px_raw"].append(float(r.mean()))
+        rows["phash"].append(oracles.phash64_oracle(r))
+    write("r13_expected", rows)
+
     # ---- r08: per-image perceptual hashes (the pair join + hamming
     # filter runs in DuckDB SQL itself, brute-force — independently
     # re-deriving what the engine does with the banded LSH join)

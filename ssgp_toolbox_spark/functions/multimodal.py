@@ -111,9 +111,13 @@ def resize_kernel(m: np.ndarray, out_h: int, out_w: int,
     x1 = np.clip(x0 + 1, 0, w - 1)
     wy = np.clip(fy - y0, 0.0, 1.0)[:, None]
     wx = np.clip(fx - x0, 0.0, 1.0)[None, :]
-    top = m[y0[:, None], x0[None, :]] * (1 - wx) + m[y0[:, None], x1[None, :]] * wx
-    bot = m[y1[:, None], x0[None, :]] * (1 - wx) + m[y1[:, None], x1[None, :]] * wx
-    return top * (1 - wy) + bot * wy
+    # 4-term form with left-to-right addition: bit-identical to the
+    # scalar textbook loop (the naive oracle), so phash-pinned
+    # fixtures match exactly
+    return (m[y0[:, None], x0[None, :]] * (1 - wy) * (1 - wx)
+            + m[y0[:, None], x1[None, :]] * (1 - wy) * wx
+            + m[y1[:, None], x0[None, :]] * wy * (1 - wx)
+            + m[y1[:, None], x1[None, :]] * wy * wx)
 
 
 def resize_images(images: DataFrame, out_h: int, out_w: int,
@@ -197,3 +201,32 @@ def resample_audio_kernel(x: np.ndarray, rate_in: int, rate_out: int) -> np.ndar
     i1 = np.minimum(i0 + 1, len(x) - 1)
     frac = pos - i0
     return x[i0] * (1 - frac) + x[i1] * frac
+
+
+DIGEST_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("mean_px", T.DoubleType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def image_digest(images: DataFrame) -> DataFrame:
+    """Per-image value digest (dims, mean, perceptual hash) — the
+    cheap projection used to pin pixel values in oracles and dedup
+    stages without shipping payloads further. Zero shuffle."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in DIGEST_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                out["image_id"].append(row.image_id)
+                out["w"].append(int(row.w))
+                out["h"].append(int(row.h))
+                out["mean_px"].append(float(m.mean()))
+                out["phash"].append(codecs.phash64(m))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        fn, DIGEST_SCHEMA)

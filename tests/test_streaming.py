@@ -143,3 +143,32 @@ def test_streaming_swath_ingest_equals_batch(spark, tmp_path):
     got = {r["image_id"]: (r["phash"], r["w"], r["h"]) for r in
            spark.sql("SELECT * FROM swath_ingest_t").collect()}
     assert got == expected
+
+
+def test_streaming_gapfill_equals_batch(spark, tmp_path):
+    """Stream-static gapfill: inputs arriving as a stream against a
+    static packed history produce bit-identical rows to the batch
+    operator (same kernel closure, same per-image seeds)."""
+    from ssgp_toolbox_spark import generator
+    from ssgp_toolbox_spark.io import images as img_io
+    from ssgp_toolbox_spark.operators import gapfill, stats
+    from ssgp_toolbox_spark.streaming import gapfill_stream
+
+    df = img_io.with_id_parts(
+        generator.images_df(spark, sites=("stp",), n_history=6, n_inputs=2))
+    kw = dict(method="Knn", predictor_configuration="Biome",
+              hyperparameters="Custom", params={"n_neighbors": 5})
+    batch = {r["image_id"]: (r["phash"], r["status"], r["filled_px"])
+             for r in gapfill.gapfill(stats.with_stats(df), **kw).collect()}
+
+    src = str(tmp_path / "inputs")
+    inputs = df.filter(F.col("role") == "input")
+    inputs.write.parquet(src)
+    stream = (spark.readStream.schema(inputs.schema).parquet(src))
+    out = gapfill_stream.gapfill_stream(stream, df, **kw)
+    q = (out.writeStream.format("memory").queryName("gapfill_stream_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r["image_id"]: (r["phash"], r["status"], r["filled_px"])
+           for r in spark.sql("SELECT * FROM gapfill_stream_t").collect()}
+    assert got == batch
