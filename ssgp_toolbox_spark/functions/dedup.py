@@ -201,3 +201,50 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         .distinct()  # a pair may collide in several tables
     )
     return cand.filter(F.col("sim") >= threshold)
+
+
+def cluster_pairs(pairs: DataFrame, vertices: DataFrame | None = None,
+                  id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the
+    candidate-pair graph, canonical keeper = min id per component —
+    the step that turns pairwise matches into per-document keep/drop
+    decisions.
+
+    Iterative min-label propagation: every vertex starts with its own
+    id; each round takes the min of its label and its neighbors'
+    labels; converges to the component minimum in <= diameter rounds
+    (each round is one shuffle join + groupBy-min, the standard
+    distributed CC — the large-star/small-star variant halves round
+    count at extreme scale, diameter of near-dup clusters is tiny in
+    practice). Deterministic fixpoint → SQL-oracle-able via a
+    recursive transitive closure.
+
+    ``pairs``: (a, b) columns. ``vertices``: optional (id_col) frame —
+    vertices with no edges become singleton clusters."""
+    edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(pairs.select(F.col("b").alias("src"),
+                                       F.col("a").alias("dst")))
+             .distinct())
+    if vertices is not None:
+        verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    else:
+        verts = edges.select(F.col("src").alias("id")).distinct()
+    labels = verts.withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels.withColumnRenamed("id", "dst")
+                            .select("dst", "label"), "dst")
+                 .groupBy("src").agg(F.min("label").alias("nmin"))
+                 .withColumnRenamed("src", "id"))
+        new_labels = (labels.join(neigh, "id", "left")
+                      .select("id", F.least(F.col("label"),
+                                            F.coalesce("nmin", F.col("label")))
+                              .alias("label")))
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).limit(1)
+                   .count())
+        labels = new_labels.localCheckpoint(eager=True) \
+            if changed else new_labels
+        if not changed:
+            break
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("cluster_id"))

@@ -48,3 +48,16 @@ def test_embedding_near_dups_plan_has_no_cartesian(spark):
     plan = dedup.embedding_near_dups(df)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_pairs_chain_and_singletons(spark):
+    """A 5-node chain (diameter > 1 → needs several propagation
+    rounds) collapses to one cluster keyed by its min id; isolated
+    vertices stay singletons."""
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 4), (4, 9), (9, 3), (11, 12)], "a long, b long")
+    verts = spark.createDataFrame([(i,) for i in [2, 3, 4, 7, 9, 11, 12, 99]],
+                                  "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           dedup.cluster_pairs(pairs, vertices=verts).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 7: 2, 9: 2, 11: 11, 12: 11, 99: 99}
