@@ -107,3 +107,41 @@ def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
         F.array_min(hashes).alias("fingerprint"),
         F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint").alias("content_hash"),
     )
+
+
+# quality-gate thresholds (public C4/Gopher-style heuristics, tuned to
+# the synthetic corpus ranges so both labels occur)
+QUALITY_GATES = {
+    "min_tokens": 5,
+    "max_tokens": 5000,
+    "max_long_token_ratio": 0.5,
+    "min_stop_ratio": 0.001,
+    "max_avg_token_len": 12.0,
+}
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Keep/drop labeling over the token_stats metrics — the decision
+    operator a training-data pipeline applies after scoring. Each rule
+    that fires is recorded in ``fail_reasons`` (sorted array) so drops
+    are auditable; ``keep`` = no rule fired. Pure Catalyst."""
+    g = QUALITY_GATES
+    stats = token_stats(docs)
+    rules = [
+        (F.col("n_tokens") < g["min_tokens"], "too_short"),
+        (F.col("n_tokens") > g["max_tokens"], "too_long"),
+        (F.col("n_long_tokens") / F.col("n_tokens")
+         > g["max_long_token_ratio"], "long_tokens"),
+        (F.col("stop_ratio") < g["min_stop_ratio"], "no_stopwords"),
+        (F.col("avg_token_len") > g["max_avg_token_len"], "avg_len"),
+    ]
+    reasons = F.array_sort(F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                  for cond, name in rules]),
+        lambda x: x.isNotNull(),
+    ))
+    return stats.select(
+        "doc_id", "n_tokens",
+        reasons.alias("fail_reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
