@@ -72,9 +72,14 @@ def lsh_recall(spark, qs) -> dict:
         mask = (keys == keys[qi]).any(axis=1)
         mask[qi] = False
         fracs.append(mask.mean())
+    ivf_hits = 0
+    for r in qs["s04_ivf_topk"](spark, SF_DIR).collect():
+        if r["nid"] in brute.get(r["qid"], set()):
+            ivf_hits += 1
     return {
         "lsh_recall_at_5": round(hits / total, 4) if total else float("nan"),
         "lsh_candidate_frac": round(float(np.mean(fracs)), 4),
+        "ivf_recall_at_5": round(ivf_hits / total, 4) if total else float("nan"),
     }
 
 

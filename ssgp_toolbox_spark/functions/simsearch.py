@@ -146,3 +146,78 @@ def bucketed_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "nid", "sim", "rank"))
+
+
+def _normalize(df: DataFrame, vec_col: str = "emb") -> DataFrame:
+    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x),
+                              F.lit(0.0), lambda a, v: a + v))
+    return df.withColumn(vec_col, F.transform(
+        F.col(vec_col), lambda x: F.round(x / norm, 6)))
+
+
+def _centroid_dist(vec, cvec):
+    # squared L2 on normalized vectors (monotone in cosine), rounded so
+    # both engines argmin identical values
+    return F.round(F.aggregate(F.zip_with(vec, cvec, lambda a, b: (a - b) * (a - b)),
+                               F.lit(0.0), lambda a, v: a + v), 6)
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 8, lloyd_iters: int = 2,
+             n_probe: int = 2) -> DataFrame:
+    """IVF ANN — the coarse-quantizer counterpart of ``lsh_topk``.
+
+    The inverted-file index is built DECLARATIVELY so the whole
+    operator (training included) is one Catalyst plan with an exact
+    SQL mirror: centroids initialize from the ``n_cells`` lowest
+    vec_ids, then ``lloyd_iters`` unrolled Lloyd rounds (assign =
+    argmin rounded L2 on normalized vectors with (dist, cid)
+    tie-break; update = per-dimension mean via posexplode + group-by,
+    re-rounded to 6dp) — every step deterministic and
+    engine-portable. Search probes the query's ``n_probe`` nearest
+    cells and exact-cosine-ranks only those cells' vectors.
+
+    At 10^12 rows: training runs on a sample, assignment is one
+    broadcast join + narrow map (centroid table is tiny), the index
+    is a (cell → vectors) partitioning, and probe cost is
+    n_probe/n_cells of the corpus. Bench measures recall vs s01."""
+    e = _normalize(_cast(embeddings).select(
+        F.col("vec_id").alias("nid"), F.col("emb")))
+    cents = (e.filter(F.col("nid") < n_cells)
+             .select(F.col("nid").cast("int").alias("cid"),
+                     F.col("emb").alias("cvec")))
+    for _ in range(lloyd_iters):
+        d = e.crossJoin(F.broadcast(cents)) \
+            .withColumn("dist", _centroid_dist(F.col("emb"), F.col("cvec")))
+        w = Window.partitionBy("nid").orderBy("dist", "cid")
+        assign = (d.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).select("nid", "cid", "emb"))
+        dims = assign.select("cid", F.posexplode("emb").alias("pos", "val"))
+        means = dims.groupBy("cid", "pos").agg(F.avg("val").alias("mv"))
+        cents = (means.groupBy("cid")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
+                 .select("cid", F.transform(F.col("pm"), lambda s: F.round(s["mv"], 6))
+                         .alias("cvec")))
+    # final assignment with the trained centroids
+    d = e.crossJoin(F.broadcast(cents)) \
+        .withColumn("dist", _centroid_dist(F.col("emb"), F.col("cvec")))
+    w = Window.partitionBy("nid").orderBy("dist", "cid")
+    index = (d.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).select("nid", "cid", F.col("emb").alias("ne")))
+
+    q = _normalize(_cast(queries).select(F.col("vec_id").alias("qid"), F.col("emb"))) \
+        .select("qid", F.col("emb").alias("qe"))
+    qd = q.crossJoin(F.broadcast(cents)) \
+        .withColumn("dist", _centroid_dist(F.col("qe"), F.col("cvec")))
+    wq = Window.partitionBy("qid").orderBy("dist", "cid")
+    probes = (qd.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= n_probe).select("qid", "qe", "cid"))
+
+    scored = (probes.join(index, "cid")
+              .filter(F.col("qid") != F.col("nid"))
+              .select("qid", "nid",
+                      F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("sim")))
+    wr = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (scored.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "sim", "rank"))

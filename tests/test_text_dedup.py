@@ -61,3 +61,22 @@ def test_cluster_pairs_chain_and_singletons(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in
            dedup.cluster_pairs(pairs, vertices=verts).collect()}
     assert got == {2: 2, 3: 2, 4: 2, 7: 2, 9: 2, 11: 11, 12: 11, 99: 99}
+
+
+def test_ivf_topk_clustered_recall(spark):
+    """On clustered data (IVF's home turf) the 2/8-probe search finds
+    the true neighbors: per-cluster twins rank first."""
+    from ssgp_toolbox_spark.functions import simsearch
+
+    rng = np.random.default_rng(9)
+    rows = []
+    centers = rng.standard_normal((4, 64)) * 5
+    for i in range(64):
+        c = centers[i % 4]
+        rows.append((i, [float(v) for v in (c + 0.1 * rng.standard_normal(64)).round(6)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = simsearch.ivf_topk(df, df.filter("vec_id < 8"), k=3)
+    got = {(r["qid"], r["rank"]): r["nid"] for r in out.collect()}
+    # every top-3 neighbor of query q must be in q's planted cluster
+    for (q, rank), n in got.items():
+        assert n % 4 == q % 4, (q, rank, n)
