@@ -504,3 +504,64 @@ def fill_metrics(filled: DataFrame) -> DataFrame:
         F.spark_partition_id().alias("partition_id"),
         F.current_timestamp().alias("computed_at"),
     )
+
+
+def gapfill_sequential_checkpointed(images: DataFrame, table_path: str,
+                                    method: str = "Lasso",
+                                    predictor_configuration: str = "Random",
+                                    hyperparameters: str = "RandomGridSearch",
+                                    params: dict | None = None,
+                                    min_valid: int = 101) -> DataFrame:
+    """``gapfill_sequential`` without driver-side accumulation: each
+    timestamp's output is committed as a DETERMINISTIC snapshot
+    (``seq-<ts>``) and the next step's feedback history is read back
+    from the table — step results never sit in driver memory, and the
+    sequence is RESUMABLE: on restart, committed timestamps are
+    skipped and their snapshots feed the next uncommitted step
+    (the add_outputs chain reconstructed from the manifest list).
+
+    Bit-identical to ``gapfill_sequential`` (same per-image seeds;
+    the f64 payload round-trips parquet losslessly). Returns the
+    union of the sequence's snapshots in GAPFILL_SCHEMA."""
+    from ssgp_toolbox_spark.io import images as img_io
+    from ssgp_toolbox_spark.operators.stats import with_stats
+
+    spark = images.sparkSession
+    inputs = images.filter(F.col("role") == "input")
+    ts_list = [r["ts"] for r in
+               inputs.select("ts").distinct().orderBy("ts").collect()]
+    committed = {s["snapshot_id"] for s in img_io.snapshots(table_path)}
+    out_cols = [f.name for f in GAPFILL_SCHEMA.fields]
+
+    def sid_of(ts) -> str:
+        return "seq-" + ts.strftime("%Y%m%dT%H%M%S")
+
+    def snapshot_df(sid: str) -> DataFrame:
+        data_dir = [s["data_dir"] for s in img_io.snapshots(table_path)
+                    if s["snapshot_id"] == sid][0]
+        return spark.read.parquet(data_dir)
+
+    grown = images.filter(F.col("role") != "input")
+    for ts in ts_list:
+        sid = sid_of(ts)
+        if sid not in committed:
+            step = grown.unionByName(inputs.filter(F.col("ts") == ts),
+                                     allowMissingColumns=True)
+            out = gapfill(step, method=method,
+                          predictor_configuration=predictor_configuration,
+                          hyperparameters=hyperparameters, params=params,
+                          min_valid=min_valid)
+            img_io.append_snapshot(out.select(*out_cols), table_path, sid)
+            committed.add(sid)
+        feedback = with_stats(img_io.with_id_parts(
+            snapshot_df(sid).select(*out_cols)
+            .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+        ).withColumn("role", F.lit("history")))
+        grown = grown.unionByName(feedback, allowMissingColumns=True)
+
+    result = None
+    for ts in ts_list:
+        df = snapshot_df(sid_of(ts)).select(*out_cols)
+        result = df if result is None else result.unionByName(df)
+    return result if result is not None else \
+        spark.createDataFrame([], GAPFILL_SCHEMA)
