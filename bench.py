@@ -83,6 +83,62 @@ def lsh_recall(spark, qs) -> dict:
     }
 
 
+def clustered_lsh(spark) -> dict:
+    """LSH pruning evidence on a CLUSTERED corpus (the shape real
+    embedding spaces have): 10 Gaussian clusters, 2000 vectors. The
+    harness parquet embeddings are near-orthogonal — a worst case
+    where any recall>=0.9 configuration must admit a large candidate
+    fraction. Here neighbor cosine is high (~0.86), so the documented
+    knob (raise bits_per_table with neighbor similarity:
+    simsearch.lsh_topk docstring) holds recall while the per-table
+    collision probability of non-neighbors drops to ~2^-6 — frac ≪ 1.
+    Reports recall@5 vs brute force and the candidate fraction."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from ssgp_toolbox_spark.functions import simsearch
+
+    rng = np.random.default_rng(42)
+    n_clusters, per, dim = 10, 200, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    E = np.repeat(centers, per, axis=0) + 0.05 * rng.standard_normal(
+        (n_clusters * per, dim))
+    E = E.round(4)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False)])
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in E[i]]) for i in range(len(E))], schema)
+    # queries: one member of each cluster (ids 0, 200, 400, ...)
+    qids = [i * per for i in range(n_clusters)]
+    q = df.filter(df.vec_id.isin(qids))
+    b, L = 6, 8
+    brute = {}
+    for r in simsearch.cosine_topk(df, q, k=5).collect():
+        brute.setdefault(r["qid"], set()).add(r["nid"])
+    hits = 0
+    for r in simsearch.lsh_topk(df, q, k=5, bits_per_table=b, n_tables=L).collect():
+        if r["nid"] in brute.get(r["qid"], set()):
+            hits += 1
+    total = sum(len(v) for v in brute.values())
+    planes = simsearch.hyperplanes(b * L, dim, seed=7)
+    sig = (E @ planes.T > 0).astype(np.int64)
+    keys = np.zeros((len(E), L), dtype=np.int64)
+    for t in range(L):
+        for j in range(b):
+            keys[:, t] = keys[:, t] * 2 + sig[:, t * b + j]
+    fracs = []
+    for qi in qids:
+        mask = (keys == keys[qi]).any(axis=1)
+        mask[qi] = False
+        fracs.append(mask.mean())
+    return {
+        "clustered_lsh_recall_at_5": round(hits / total, 4) if total else float("nan"),
+        "clustered_lsh_candidate_frac": round(float(np.mean(fracs)), 4),
+    }
+
+
 def bench_rasters(spark, timings: dict) -> dict:
     """Raster throughput on the synthetic image table (npy-f64).
     Scale: 2 sites x (16 history + 4 inputs) at reference-like shapes
@@ -158,6 +214,7 @@ def main() -> None:
         assert n >= 0
     extras = bench_rasters(spark, timings)
     extras.update(lsh_recall(spark, qs))
+    extras.update(clustered_lsh(spark))
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({

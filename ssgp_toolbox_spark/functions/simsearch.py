@@ -4,12 +4,16 @@
   ``zip_with`` + ``aggregate`` (JVM-side, no Python); ranking by
   (rounded similarity desc, neighbor id asc) so results are
   deterministic and engine-portable.
-- IVF-style bucketed ANN: the scale path — both sides of the join are
-  first coarsely quantized (sign bits of the leading components), and
-  only same-bucket pairs are scored. At 10^12 rows the bucket key is
-  the shuffle key; probe cost per query drops by the bucket count.
-  (An LSH random-hyperplane variant would need shared hyperplane
-  randomness; sign-bucketing keeps the oracle SQL-expressible.)
+- the ANN family, all with seeded-hyperplane randomness whose 6dp
+  literals embed identically in the Spark plan and the DuckDB oracle:
+  * ``bucketed_topk`` — single-table multi-bit signature: maximal
+    pruning, no recall bar (dedup-style prefilter).
+  * ``lsh_topk`` — multi-table random-hyperplane LSH: the recall
+    path; candidates = union over tables, shuffle key (table,bucket).
+  * ``ivf_topk`` — coarse quantizer (declarative unrolled Lloyd) +
+    n_probe nearest cells; broadcast centroid table, cell-local scan.
+  At 10^12 rows the bucket/cell key is the shuffle key; probe cost
+  per query drops by the bucket count.
 """
 
 from __future__ import annotations
@@ -51,6 +55,9 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
 
 
 def sign_bucket(emb_col, n_bits: int = 2):
+    """Component-sign bucket (leading ``n_bits`` components). Kept
+    only as the trivially-SQL-portable toy key; ``bucketed_topk`` uses
+    seeded hyperplane signatures (``lsh_table_keys``) instead."""
     b = None
     for i in range(n_bits):
         bit = F.when(F.element_at(emb_col, i + 1) > 0, F.lit(1)).otherwise(F.lit(0))
@@ -128,15 +135,26 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def bucketed_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                  n_bits: int = 2) -> DataFrame:
-    """ANN: candidates restricted to the query's sign-bucket — the
-    equi-join pre-filter that makes the search linear at scale."""
+                  n_bits: int = 6, seed: int = 7) -> DataFrame:
+    """Single-table coarse ANN: one seeded ``n_bits``-bit random-
+    hyperplane signature (2^n_bits buckets); candidates = rows in the
+    query's bucket only. This is the maximal-pruning / minimal-recall
+    end of the family — one equi-join, no fan-out, probe cost
+    ~1/2^n_bits of the corpus — for dedup-style prefilters where a
+    miss is cheap. It does NOT hold a recall bar: a single table's
+    collision probability decays with (1 - θ/π)^n_bits, so use
+    ``lsh_topk`` (multi-table union) or ``ivf_topk`` (coarse
+    quantizer + probes) when recall matters. Signature reuses
+    ``lsh_table_keys`` with one table so Spark and the SQL oracle
+    share the exact hyperplane literals."""
+    planes = hyperplanes(n_bits, seed=seed)
+    key = lambda col: F.element_at(lsh_table_keys(col, planes, n_bits, 1), 1)
     q = _cast(queries).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qe"),
-        sign_bucket(F.col("emb"), n_bits).alias("bucket"))
+        key(F.col("emb")).alias("bucket"))
     c = _cast(embeddings).select(
         F.col("vec_id").alias("nid"), F.col("emb").alias("ne"),
-        sign_bucket(F.col("emb"), n_bits).alias("bucket"))
+        key(F.col("emb")).alias("bucket"))
     scored = (
         q.join(c, "bucket")
         .filter(F.col("qid") != F.col("nid"))
@@ -163,8 +181,8 @@ def _centroid_dist(vec, cvec):
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-             n_cells: int = 8, lloyd_iters: int = 2,
-             n_probe: int = 2) -> DataFrame:
+             n_cells: int = 16, lloyd_iters: int = 2,
+             n_probe: int = 4) -> DataFrame:
     """IVF ANN — the coarse-quantizer counterpart of ``lsh_topk``.
 
     The inverted-file index is built DECLARATIVELY so the whole
@@ -183,8 +201,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     n_probe/n_cells of the corpus. Bench measures recall vs s01."""
     e = _normalize(_cast(embeddings).select(
         F.col("vec_id").alias("nid"), F.col("emb")))
-    cents = (e.filter(F.col("nid") < n_cells)
-             .select(F.col("nid").cast("int").alias("cid"),
+    # seeds: the n_cells lowest vec_ids regardless of id values
+    # (orderBy+limit = distributed TakeOrdered, no global sort
+    # shuffle); cid is their dense 0..n_cells-1 rank. Corpus must have
+    # >= n_cells rows or the index has fewer cells than requested.
+    wseed = Window.orderBy("nid")
+    cents = (e.orderBy("nid").limit(n_cells)
+             .select((F.row_number().over(wseed) - 1).cast("int").alias("cid"),
                      F.col("emb").alias("cvec")))
     for _ in range(lloyd_iters):
         d = e.crossJoin(F.broadcast(cents)) \
@@ -194,10 +217,15 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                   .filter(F.col("rn") == 1).select("nid", "cid", "emb"))
         dims = assign.select("cid", F.posexplode("emb").alias("pos", "val"))
         means = dims.groupBy("cid", "pos").agg(F.avg("val").alias("mv"))
-        cents = (means.groupBy("cid")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
-                 .select("cid", F.transform(F.col("pm"), lambda s: F.round(s["mv"], 6))
-                         .alias("cvec")))
+        new = (means.groupBy("cid")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
+               .select("cid", F.transform(F.col("pm"), lambda s: F.round(s["mv"], 6))
+                       .alias("nvec")))
+        # empty-cell guard: a cell whose membership dropped to zero
+        # keeps its previous centroid, so the index never silently
+        # shrinks below n_cells
+        cents = (cents.join(new, "cid", "left")
+                 .select("cid", F.coalesce("nvec", "cvec").alias("cvec")))
     # final assignment with the trained centroids
     d = e.crossJoin(F.broadcast(cents)) \
         .withColumn("dist", _centroid_dist(F.col("emb"), F.col("cvec")))
