@@ -230,7 +230,8 @@ def cluster_pairs(pairs: DataFrame, vertices: DataFrame | None = None,
     else:
         verts = edges.select(F.col("src").alias("id")).distinct()
     labels = verts.withColumn("label", F.col("id"))
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
         neigh = (edges.join(labels.withColumnRenamed("id", "dst")
                             .select("dst", "label"), "dst")
                  .groupBy("src").agg(F.min("label").alias("nmin"))
@@ -242,9 +243,18 @@ def cluster_pairs(pairs: DataFrame, vertices: DataFrame | None = None,
         changed = (new_labels.alias("n").join(labels.alias("o"), "id")
                    .filter(F.col("n.label") != F.col("o.label")).limit(1)
                    .count())
-        labels = new_labels.localCheckpoint(eager=True) \
-            if changed else new_labels
         if not changed:
+            labels = new_labels
             break
+        rounds += 1
+        if rounds >= max_iter:
+            # returning partial labels would silently violate the
+            # documented connected-components semantics
+            raise RuntimeError(
+                f"cluster_pairs: no fixpoint after {max_iter} rounds; "
+                "component diameter exceeds max_iter — raise max_iter "
+                "(or use a large-star/small-star contraction for "
+                "extreme-diameter graphs)")
+        labels = new_labels.localCheckpoint(eager=True)
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("cluster_id"))

@@ -169,11 +169,16 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in FRAME_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
-                if row.fmt != FMT_STACK:
-                    decode_external(row.bytes, row.fmt)  # gate
                 h, w, n = int(row.h), int(row.w), int(row.n_frames)
-                stack = np.frombuffer(row.bytes, dtype="<f8",
-                                      count=n * h * w).reshape(n, h, w)
+                if row.fmt == FMT_STACK:
+                    stack = np.frombuffer(row.bytes, dtype="<f8",
+                                          count=n * h * w).reshape(n, h, w)
+                else:
+                    # external container: the hook's decoded frames ARE
+                    # the stack (same consumption as resize_images)
+                    stack = np.asarray(
+                        decode_external(row.bytes, row.fmt),
+                        dtype=np.float64).reshape(n, h, w)
                 for i in range(0, n, every_n):
                     out["video_id"].append(row.video_id)
                     out["frame_idx"].append(i)

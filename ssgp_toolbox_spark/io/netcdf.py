@@ -132,8 +132,6 @@ def read_netcdf(buf: bytes):
         vsize = r.u32()
         begin = r.u64() if offsets_64 else r.u32()
         shape = tuple(dims[d][1] for d in dimids)
-        is_rec = bool(shape) and dims[dimids[0]][1] == 0 and numrecs is not None \
-            and dimids and dims[dimids[0]][0] == dims[0][0] and shape[0] == 0
         # record dim is the one with length 0 in the header
         is_rec = bool(dimids) and dims[dimids[0]][1] == 0
         specs.append((nm, nc_type, shape, begin, vsize, is_rec))
@@ -197,8 +195,19 @@ def write_netcdf(variables: dict[str, np.ndarray]) -> bytes:
                    "i8": ">i4", "f4": ">f4", "f8": ">f8", "u2": ">i4"}
         if kind not in mapping:
             raise ValueError(f"dtype {arr.dtype} outside the classic model")
-        be = np.ascontiguousarray(arr).astype(mapping[kind])
-        return be, _NC_OF_KIND[mapping[kind].lstrip(">")]
+        tgt = mapping[kind]
+        if kind != tgt.lstrip(">") and np.issubdtype(arr.dtype, np.integer) \
+                and arr.size:
+            # classic model has no 64-bit or unsigned ints: narrowing
+            # must be an error, never a silent wrap
+            info = np.iinfo(np.dtype(tgt.lstrip(">")))
+            lo, hi = int(arr.min()), int(arr.max())
+            if lo < info.min or hi > info.max:
+                raise ValueError(
+                    f"{arr.dtype} values [{lo}, {hi}] exceed the classic "
+                    f"NetCDF {tgt.lstrip('>')} range [{info.min}, {info.max}]")
+        be = np.ascontiguousarray(arr).astype(tgt)
+        return be, _NC_OF_KIND[tgt.lstrip(">")]
 
     head = [b"CDF\x01", struct.pack(">I", 0)]
     head.append(struct.pack(">II", _NC_DIMENSION if dim_lens else 0,

@@ -80,3 +80,20 @@ def test_ivf_topk_clustered_recall(spark):
     # every top-3 neighbor of query q must be in q's planted cluster
     for (q, rank), n in got.items():
         assert n % 4 == q % 4, (q, rank, n)
+
+
+def test_cluster_pairs_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iter must raise, not
+    silently return partial labels (ADVICE r2)."""
+    import pytest
+
+    from ssgp_toolbox_spark.functions import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        dedup.cluster_pairs(chain, max_iter=1)
+    # and with enough rounds the same graph resolves to one cluster
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.cluster_pairs(chain, max_iter=10).collect()}
+    assert set(got.values()) == {0}
