@@ -244,6 +244,80 @@ def main():
         rows["phash"].append(oracles.phash64_oracle(r))
     write("r13_expected", rows)
 
+    # ---- r15: MOD09GA reflectance full chain (QC policy → /10000 →
+    # NDVI / Liang albedo → clamps → overrides → sinusoidal inverse →
+    # NN warp); expected grids from oracles.mod09_ingest_oracle
+    rows = {"image_id": [], "w": [], "h": [], "n_valid": [],
+            "n_gap": [], "n_skip": [], "phash": []}
+    import datetime as _dt
+    for product in ("albedo", "ndvi"):
+        for t in range(2):
+            bands, qc = generator.mod09_tile(SITE, t)
+            grid = oracles.mod09_ingest_oracle(
+                bands, qc, generator.MODIS_GT, generator.SWATH_EXTENT,
+                *generator.SWATH_RES, product=product)
+            ts = _dt.datetime.strptime(f"2019{254 + t:03d}",
+                                       "%Y%j").strftime("%Y%m%dT%H%M%S")
+            rows["image_id"].append(f"{SITE}/{product}/{ts}")
+            rows["w"].append(grid.shape[1])
+            rows["h"].append(grid.shape[0])
+            rows["n_valid"].append(int(((grid != GAP) & (grid != oracles.SKIP)
+                                        & (grid != oracles.NODATA)).sum()))
+            rows["n_gap"].append(int((grid == GAP).sum()))
+            rows["n_skip"].append(int((grid == oracles.SKIP).sum()))
+            rows["phash"].append(oracles.phash64_oracle(grid))
+    write("r15_expected", rows)
+
+    # ---- r14: export-sink round trip (S9 GeoTIFF, S10 netCDF).
+    # Expected values by SPEC ARITHMETIC, never by the encoders:
+    # - phash of the round-tripped raster == phash of the f32-cast
+    #   matrix (both sinks store float32; npy-f64 corpus is lossless)
+    # - GeoTIFF size: TIFF 6.0 single-strip layout = 8B header
+    #   + IFD(2 + 12 entries x 12 + 4) + 3 scale doubles + 6 tiepoint
+    #   doubles + GeoKeyDirectory(4 keys x 4 shorts) + h*w*4 data
+    # - netCDF size: classic CDF-1 header arithmetic (names padded to
+    #   4, dims time/row/col/strlen, 2 att-less vars) + padded char
+    #   block + f32 data
+    # - georef literals round-trip unchanged; labels = the ts strings
+    def name_len(s):
+        return 4 + len(s) + (4 - len(s) % 4) % 4
+
+    tif_bytes = (8 + (2 + 12 * 12 + 4) + 3 * 8 + 6 * 8 + 4 * 4 * 2
+                 + H * W * 4)
+    steps = [iid.split("/")[-1] for iid, _ in inputs]
+    ts_len = max(len(s) for s in steps)
+    nc_hdr = (4 + 4                                   # magic + numrecs
+              + 8 + sum(name_len(n) + 4 for n in
+                        ("time", "row", "col", "strlen"))
+              + 8                                     # empty global atts
+              + 8                                     # var_list tag+count
+              + name_len("time") + 4 + 2 * 4 + 8 + 12
+              + name_len("matrices") + 4 + 3 * 4 + 8 + 12)
+    char_block = len(inputs) * ts_len
+    char_block += (4 - char_block % 4) % 4
+    nc_bytes = nc_hdr + char_block + len(inputs) * H * W * 4
+    rows = {"image_id": [], "kind": [], "n_bytes": [], "phash": [],
+            "epsg": [], "min_x": [], "max_y": [], "label": []}
+    for (iid, m), step in zip(inputs, steps):
+        ph = oracles.phash64_oracle(m.astype(np.float32).astype(np.float64))
+        rows["image_id"].append(iid)
+        rows["kind"].append("geotiff")
+        rows["n_bytes"].append(tif_bytes)
+        rows["phash"].append(ph)
+        rows["epsg"].append(32635)
+        rows["min_x"].append(300000.0)
+        rows["max_y"].append(6200000.0)
+        rows["label"].append(step)
+        rows["image_id"].append(f"{SITE}/netcdf/{step}")
+        rows["kind"].append("netcdf")
+        rows["n_bytes"].append(nc_bytes)
+        rows["phash"].append(ph)
+        rows["epsg"].append(0)
+        rows["min_x"].append(0.0)
+        rows["max_y"].append(0.0)
+        rows["label"].append(step)
+    write("r14_expected", rows)
+
     # ---- r08: per-image perceptual hashes (the pair join + hamming
     # filter runs in DuckDB SQL itself, brute-force — independently
     # re-deriving what the engine does with the banded LSH join)

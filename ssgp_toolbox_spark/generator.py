@@ -364,3 +364,54 @@ def modis_tiles_df(spark, sites=("stp",), n: int = 2):
                          qc.astype("<i2").tobytes(),
                          MODIS_HW[0], MODIS_HW[1], list(MODIS_GT)))
     return spark.createDataFrame(rows, SW.MODIS_SCHEMA)
+
+
+MOD09_BANDS = (1, 2, 3, 4, 5, 7)  # the bands the reference products use
+
+
+def mod09_tile(site: str, t_index: int):
+    """Deterministic raw MOD09GA-like subdataset arrays: surface-
+    reflectance bands b1..b5,b7 as int16 (reflectance × 1e4) and the
+    state_1km QC grid. A few pixels are planted with out-of-physics
+    reflectances (negative / >1, both occur in real MOD09 granules)
+    so the NDVI/albedo range clamps have discriminating rows."""
+    h, w = MODIS_HW
+    base = temperature_field(site, h, w, float(t_index) + 0.25)
+    norm = (base - base.min()) / (np.ptp(base) + 1e-9)
+    bands = {}
+    for b in MOD09_BANDS:
+        refl = norm * (0.30 + 0.04 * b) + 0.015 * b
+        bands[b] = np.round(refl * 10000.0).astype(np.int16)
+    # planted clamp triggers (fixed pixels, values set on every band
+    # involved so no accidental zero-denominator NDVI pixels)
+    for r, c in ((3, 5), (40, 60), (97, 123)):
+        bands[1][r, c], bands[2][r, c] = 500, -600       # NDVI > 1
+        bands[3][r, c] = bands[4][r, c] = 200
+        bands[5][r, c] = bands[7][r, c] = -9000          # albedo < 0
+    for r, c in ((7, 11), (55, 81)):
+        for b in MOD09_BANDS:
+            bands[b][r, c] = 31000                       # albedo > 1
+        bands[1][r, c], bands[2][r, c] = -500, 600       # NDVI < -1
+    rng = _rng(site, "mod09qc", t_index)
+    qc = rng.choice(np.array([0, 0, 0, 0, 0, 1, 2, 3], dtype=np.int16),
+                    size=(h, w))
+    qc[rng.random((h, w)) < 0.01] = -1  # srcNodata rows → NoData
+    return bands, qc
+
+
+def mod09_tiles_df(spark, sites=("stp",), n: int = 2):
+    """MOD09GA tile rows (MOD09_SCHEMA); file names carry the A%Y%j
+    acquisition-date convention."""
+    from ssgp_toolbox_spark.operators import swath_ingest as SW
+
+    rows = []
+    for site in sites:
+        for t in range(n):
+            bands, qc = mod09_tile(site, t)
+            fname = f"MOD09GA.A2019{254 + t:03d}.h20v03.006.x.hdf"
+            rows.append((site, fname,
+                         *[bands[b].astype("<i2").tobytes()
+                           for b in MOD09_BANDS],
+                         qc.astype("<i2").tobytes(),
+                         MODIS_HW[0], MODIS_HW[1], list(MODIS_GT)))
+    return spark.createDataFrame(rows, SW.MOD09_SCHEMA)

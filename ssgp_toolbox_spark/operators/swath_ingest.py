@@ -324,3 +324,101 @@ def ingest_modis_grids(tiles: DataFrame, extent: dict, x_res: float,
             yield pd.DataFrame(out)
 
     return tiles.mapInPandas(fn, _OUT_SCHEMA)
+
+
+# ----------------------------------------------- MOD09GA reflectance
+
+def mod09_quality(qc: np.ndarray, qa_policy: int = 0) -> np.ndarray:
+    """Two-bit state QC → quality classes for the reflectance product
+    (MODIS_Reflectance_Products_MOD09GA.py:84-110). DIFFERENT mapping
+    from the LST products: policy 0 flags '01'/'10' as Gap and keeps
+    '11' OK; policy 1 flags only '01'. There is NO skip class;
+    qc == -32768 (after the srcNodata=-1 hop, line 130) → NoData."""
+    q = np.asarray(qc, dtype=np.int64)
+    q = np.where(q == -1, -32768, q)
+    two = q & 3
+    quality = np.zeros(q.shape, dtype=np.int8)
+    if qa_policy == 0:
+        quality[(two == 1) | (two == 2)] = 1
+    else:
+        quality[two == 1] = 1
+    quality[q == -32768] = 3
+    return quality
+
+
+def prepare_mod09(bands: dict[int, np.ndarray], qc: np.ndarray,
+                  product: str = "ndvi", qa_policy: int = 0) -> np.ndarray:
+    """Band math on the SOURCE sinusoidal grid, exactly the MOD09GA
+    order (MODIS_Reflectance_Products_MOD09GA.py:112-203): per-band
+    /10000 scale, NDVI (b2,b1; lines 145-151) or Liang narrowband→
+    broadband albedo (0.160·b1 + 0.291·b2 + 0.243·b3 + 0.116·b4 +
+    0.112·b5 + 0.081·b7 − 0.0015; lines 153-173), range clamps to
+    GAP, then quality overrides. NDVI zero-denominator pixels
+    propagate NaN exactly as the reference's numpy division does."""
+    quality = mod09_quality(qc, qa_policy)
+    sb = {b: np.asarray(a, dtype=np.float64) / 10000.0
+          for b, a in bands.items()}
+    if product == "ndvi":
+        red, nir = sb[1], sb[2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = (nir - red) / (nir + red)
+        out[out > 1] = GAP
+        out[out < -1] = GAP
+    elif product == "albedo":
+        out = (0.160 * sb[1] + 0.291 * sb[2] + 0.243 * sb[3]
+               + 0.116 * sb[4] + 0.112 * sb[5] + 0.081 * sb[7] - 0.0015)
+        out[out > 1] = GAP
+        out[out < 0] = GAP
+    else:
+        raise ValueError(f"unknown MOD09 product {product!r}")
+    out[quality == 1] = GAP
+    out[quality == 3] = NODATA
+    return out
+
+
+MOD09_SCHEMA = T.StructType(
+    [T.StructField("site", T.StringType()),
+     T.StructField("file_name", T.StringType())]   # MOD09GA.A2019254...
+    + [T.StructField(f"b{b}", T.BinaryType()) for b in (1, 2, 3, 4, 5, 7)]
+    + [T.StructField("state", T.BinaryType()),     # int16 LE state_1km QC
+       T.StructField("h", T.IntegerType()),
+       T.StructField("w", T.IntegerType()),
+       T.StructField("gt", T.ArrayType(T.DoubleType()))])
+
+
+def ingest_mod09_grids(tiles: DataFrame, extent: dict, x_res: float,
+                       y_res: float, product: str = "ndvi",
+                       qa_policy: int = 0,
+                       role: str = "input") -> DataFrame:
+    """MOD09GA tile rows (pre-extracted subdataset arrays — the HDF4
+    container is the gated step, as for A1/A2) → QC-masked NDVI or
+    Liang-albedo grids warped to UTM, in the input_hint schema. Same
+    embarrassingly-parallel mapInPandas shape as the other ingests:
+    one tile per row, zero shuffle."""
+    utm_code, utm_extent = utm_code_for_extent(extent)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _OUT_SCHEMA.fieldNames()}
+            for r in pdf.itertuples(index=False):
+                h, w = int(r.h), int(r.w)
+                bands = {b: np.frombuffer(
+                    bytes(getattr(r, f"b{b}")), "<i2").reshape(h, w)
+                    for b in (1, 2, 3, 4, 5, 7)}
+                qc = np.frombuffer(bytes(r.state), "<i2").reshape(h, w)
+                m = prepare_mod09(bands, qc, product, qa_policy)
+                lon, lat = modis_grid_latlon(tuple(r.gt), h, w)
+                grid = warp_to_grid(m, lat, lon, utm_code, utm_extent,
+                                    x_res, y_res)
+                ts = modis_datetime(r.file_name)
+                out["image_id"].append(f"{r.site}/{role}/{ts}")
+                out["bytes"].append(codecs.encode(grid, codecs.FMT_F64))
+                out["w"].append(grid.shape[1])
+                out["h"].append(grid.shape[0])
+                out["fmt"].append(codecs.FMT_F64)
+                out["caption"].append(
+                    f"MOD09GA {product} {r.site} {ts} EPSG:{utm_code}")
+                out["phash"].append(codecs.phash64(grid))
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(fn, _OUT_SCHEMA)

@@ -687,3 +687,70 @@ def modis_ingest_oracle(lst_raw, qc, geotransform, extent, x_res, y_res,
     for (row, col), (_, v) in best.items():
         grid[row, col] = v
     return grid
+
+
+def mod09_ingest_oracle(bands, qc, geotransform, extent, x_res, y_res,
+                        product="ndvi", qa_policy=0):
+    """NAIVE transcription of the MOD09GA reflectance chain
+    (MODIS_Reflectance_Products_MOD09GA.py:84-203): per-pixel loops
+    for the MOD09 two-bit QC policy (NO skip class; '11' is OK at
+    policy 0), /10000 band scale, NDVI or Liang albedo with range
+    clamps, quality overrides, closed-form sinusoidal inverse, and the
+    per-cell nearest warp."""
+    from ssgp_toolbox_spark import geometry
+
+    R = 6371007.181
+    h, w = qc.shape
+    base = 32700 if (extent["minY"] + extent["maxY"]) / 2 < 0 else 32600
+    zone = int(((extent["minX"] + extent["maxX"]) / 2 + 180) / 6.0 % 60) + 1
+    south = base == 32700
+    x0e, y0e = geometry.utm_project(extent["minX"], extent["minY"], zone, south=south)
+    x1e, y1e = geometry.utm_project(extent["maxX"], extent["maxY"], zone, south=south)
+    gw = max(int(np.ceil((x1e - x0e) / x_res)), 1)
+    gh = max(int(np.ceil((y1e - y0e) / y_res)), 1)
+
+    gx0, dx, _, gy0, _, dy = geotransform
+    best = {}
+    for r in range(h):
+        for c in range(w):
+            q = int(qc[r, c])
+            if q == -1:
+                q = -32768
+            two = q & 3
+            if product == "ndvi":
+                red = float(bands[1][r, c]) / 10000.0
+                nir = float(bands[2][r, c]) / 10000.0
+                v = (nir - red) / (nir + red) if nir + red != 0 else float("nan")
+                if v > 1 or v < -1:
+                    v = GAP
+            else:
+                sb = {b: float(bands[b][r, c]) / 10000.0
+                      for b in (1, 2, 3, 4, 5, 7)}
+                v = (0.160 * sb[1] + 0.291 * sb[2] + 0.243 * sb[3]
+                     + 0.116 * sb[4] + 0.112 * sb[5] + 0.081 * sb[7]
+                     - 0.0015)
+                if v > 1 or v < 0:
+                    v = GAP
+            if (qa_policy == 0 and two in (1, 2)) or \
+                    (qa_policy == 1 and two == 1):
+                v = GAP
+            if q == -32768:
+                v = NODATA
+            sx = gx0 + (c + 0.5) * dx
+            sy = gy0 + (r + 0.5) * dy
+            lat = np.rad2deg(sy / R)
+            lon = np.rad2deg(sx / (R * np.cos(np.deg2rad(lat))))
+            X, Y = geometry.utm_project(lon, lat, zone, south=south)
+            col = int(np.floor((X - x0e) / x_res))
+            row = int(np.floor((y1e - Y) / y_res))
+            if not (0 <= col < gw and 0 <= row < gh):
+                continue
+            ccx = x0e + (col + 0.5) * x_res
+            ccy = y1e - (row + 0.5) * y_res
+            d2 = (X - ccx) ** 2 + (Y - ccy) ** 2
+            if (row, col) not in best or d2 < best[(row, col)][0]:
+                best[(row, col)] = (d2, v)
+    grid = np.full((gh, gw), NODATA, dtype=np.float64)
+    for (row, col), (_, v) in best.items():
+        grid[row, col] = v
+    return grid

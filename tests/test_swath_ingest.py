@@ -256,3 +256,42 @@ def test_ingest_modis_grids_spark(spark):
     got = codecs.decode(bytes(r["bytes"]), r["h"], r["w"], r["fmt"])
     assert (got != NODATA).sum() > 0
     assert (got == GAP).sum() > 0 and (got == SKIP).sum() > 0
+
+
+def test_mod09_quality_policies():
+    """MOD09 mapping differs from LST: '11' is OK at policy 0, only
+    '01' gaps at policy 1, no skip class (MOD09GA.py:84-110)."""
+    qc = np.array([[0, 1, 2, 3, -1, -32768]], dtype=np.int16)
+    q0 = SW.mod09_quality(qc, qa_policy=0)
+    assert q0.tolist() == [[0, 1, 1, 0, 3, 3]]
+    q1 = SW.mod09_quality(qc, qa_policy=1)
+    assert q1.tolist() == [[0, 1, 0, 0, 3, 3]]
+    assert 2 not in q0 and 2 not in q1
+
+
+def test_mod09_engine_matches_naive_oracle():
+    """prepare_mod09 + warp == the per-pixel naive transcription,
+    bit-for-bit, for both products; planted clamp pixels are GAP."""
+    import oracles
+
+    from ssgp_toolbox_spark import generator
+
+    bands, qc = generator.mod09_tile("stp", 0)
+    for product in ("ndvi", "albedo"):
+        m = SW.prepare_mod09(bands, qc, product=product)
+        lon, lat = SW.modis_grid_latlon(
+            generator.MODIS_GT, *m.shape)
+        utm_code, utm_extent = SW.utm_code_for_extent(
+            generator.SWATH_EXTENT)
+        got = SW.warp_to_grid(
+            m, lat, lon, utm_code, utm_extent, *generator.SWATH_RES)
+        exp = oracles.mod09_ingest_oracle(
+            bands, qc, generator.MODIS_GT, generator.SWATH_EXTENT,
+            *generator.SWATH_RES, product=product)
+        np.testing.assert_array_equal(got, exp)
+    # the planted out-of-range pixels clamp to GAP on the source grid
+    m_ndvi = SW.prepare_mod09(bands, qc, product="ndvi")
+    m_alb = SW.prepare_mod09(bands, qc, product="albedo")
+    for r, c in ((3, 5), (7, 11)):
+        assert m_ndvi[r, c] == oracles.GAP
+        assert m_alb[r, c] == oracles.GAP
