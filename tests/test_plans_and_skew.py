@@ -102,3 +102,26 @@ def test_column_pruning(spark, tmp_path):
     plan = _plan(q)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "bytes" not in read_schema and "caption" not in read_schema
+
+
+@pytest.mark.parametrize("qname", ["r08_phash_dedup",
+                                   "d05_embedding_near_dups",
+                                   "s03_lsh_topk",
+                                   "s02_bucketed_topk",
+                                   "s04_ivf_topk"])
+def test_banded_joins_have_no_cartesian_product(spark, qname):
+    """The candidate-generation paths must stay equi-joins in the
+    OPTIMIZED plan: no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere (r1 brief). Exception: s04's tiny broadcast-centroid
+    probes are constant-side (n_cells rows) BroadcastNestedLoopJoins
+    by design — asserted separately below."""
+    import __spark_entry__ as em
+
+    df = em.queries()[qname](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, qname
+    if qname != "s04_ivf_topk":
+        assert "BroadcastNestedLoopJoin" not in plan, qname
+    # s04's BroadcastNestedLoopJoins are the deliberate
+    # broadcast-centroid probes (constant n_cells-row side,
+    # simsearch.ivf_topk docstring) — only CartesianProduct is banned
