@@ -97,3 +97,27 @@ def test_cluster_pairs_nonconvergence_raises(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup.cluster_pairs(chain, max_iter=10).collect()}
     assert set(got.values()) == {0}
+
+
+def test_cluster_pairs_star_matches_propagation_and_beats_diameter(spark):
+    """large-star/small-star CC: (1) identical labels to min-label
+    propagation on a mixed graph; (2) converges on a diameter-120
+    chain within its O(log^2 n) round budget — where propagation
+    would need 120 rounds."""
+    from ssgp_toolbox_spark.functions import dedup
+
+    edges = [(2, 7), (7, 9), (9, 3), (4, 3), (11, 12), (20, 21),
+             (21, 22), (22, 23), (2, 9)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    verts = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    a = {r["doc_id"]: r["cluster_id"]
+         for r in dedup.cluster_pairs(pairs, vertices=verts).collect()}
+    b = {r["doc_id"]: r["cluster_id"]
+         for r in dedup.cluster_pairs_star(pairs, vertices=verts).collect()}
+    assert a == b
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "a long, b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.cluster_pairs_star(chain, max_rounds=15).collect()}
+    assert set(got.values()) == {0} and len(got) == 121
