@@ -145,3 +145,25 @@ def quality_gate(docs: DataFrame) -> DataFrame:
         reasons.alias("fail_reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern, ASCII-simplified so the SAME
+# literal runs identically under Java regex (Spark) and RE2 (DuckDB):
+# contractions | space?letters | space?digits | space?punct-run | spaces
+BPE_SPLIT_RE = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9']+| +"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Subword-boundary token counting: the whitespace count beside a
+    BPE-ish pre-tokenizer segmentation (the regex every GPT-2-family
+    tokenizer applies before merges — the count LLM pipelines bill
+    by). Pure Catalyst (regexp_extract_all), no Python."""
+    n_ws = F.size(_tokens())
+    bpe = F.expr(f"regexp_extract_all(text, \"{BPE_SPLIT_RE}\", 0)")
+    n_bpe = F.size(bpe)
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length("text") / n_bpe, 6).alias("chars_per_bpe_token"),
+    )
