@@ -5,7 +5,9 @@ same deterministic input and reports throughput at both plus scaling
 efficiency = (T_N / T_4N) / 4. Each run is a fresh JVM (subprocess)
 so executors/cores are really different.
 
-Usage: python scripts/scaling_bench.py [N]   (default N=8)
+Usage: python scripts/scaling_bench.py [N] [--deploy]   (default N=8;
+--deploy runs the job via spark-submit --py-files pkg.zip — the
+north_rule's literal deployment path)
 Writes/updates BENCH/BASELINE.md.
 """
 
@@ -69,10 +71,50 @@ spark.stop()
 """
 
 
-def run(cpus: int) -> dict:
+def _build_pkg_zip(workdir: str) -> str:
+    """The north_rule deployment artifact: the library as a
+    --py-files zip, exactly what a cluster submit ships."""
+    import zipfile
+
+    zp = os.path.join(workdir, "ssgp_pkg.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        for root, _, files in os.walk(os.path.join(REPO, "ssgp_toolbox_spark")):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    zf.write(p, os.path.relpath(p, REPO))
+    return zp
+
+
+def run(cpus: int, deploy: bool = False) -> dict:
     script = JOB.replace("@REPO@", REPO)
-    p = subprocess.run([sys.executable, "-c", script, str(cpus)],
-                       capture_output=True, text=True, timeout=1800)
+    if deploy:
+        # north_rule letter: the SAME job through spark-submit
+        # --py-files at both parallelism levels (the JOB's
+        # sys.path.insert is a no-op redundancy under --py-files)
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="scaling_deploy_") as td:
+            zp = _build_pkg_zip(td)
+            jb = os.path.join(td, "job.py")
+            # strip the local-path shim so imports genuinely resolve
+            # from the shipped --py-files zip
+            with open(jb, "w") as f:
+                f.write(script.replace(f'sys.path.insert(0, "{REPO}")',
+                                       "pass"))
+            # --driver-memory must be on the submit line: session.py's
+            # spark.driver.memory=8g arrives after the driver JVM
+            # exists and is ignored under spark-submit (the in-process
+            # path picks it up because pyspark launches the JVM lazily)
+            p = subprocess.run(
+                ["spark-submit", "--master", f"local[{cpus}]",
+                 "--driver-memory",
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+                 "--py-files", zp, jb, str(cpus)],
+                capture_output=True, text=True, timeout=1800)
+    else:
+        p = subprocess.run([sys.executable, "-c", script, str(cpus)],
+                           capture_output=True, text=True, timeout=1800)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])
@@ -80,9 +122,11 @@ def run(cpus: int) -> dict:
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    lo = run(n)
-    hi = run(4 * n)
+    args = [a for a in sys.argv[1:] if a != "--deploy"]
+    deploy = "--deploy" in sys.argv[1:]
+    n = int(args[0]) if args else 8
+    lo = run(n, deploy)
+    hi = run(4 * n, deploy)
     thr = lambda r, k, pk: r[pk] / r[k]
     g_lo, g_hi = thr(lo, "t_gap", "gap_px"), thr(hi, "t_gap", "gap_px")
     n_lo, n_hi = thr(lo, "t_nn", "nn_px"), thr(hi, "t_nn", "nn_px")
@@ -97,7 +141,10 @@ def main():
     }
     print(json.dumps(report, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out = os.path.join(REPO, "BENCH", f"scaling_N{n}.json")
+    report["mode"] = "spark-submit --py-files" if deploy else "in-process"
+    out = os.path.join(REPO, "BENCH",
+                       f"scaling_N{n}_deploy.json" if deploy
+                       else f"scaling_N{n}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     # BENCH/BASELINE.md is maintained by hand from these JSONs — do

@@ -82,9 +82,19 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 16) -> DataF
 
 
 def minhash_lsh_candidates(docs: DataFrame, k: int = 3, n_hashes: int = 16,
-                           bands: int = 4) -> DataFrame:
+                           bands: int = 4,
+                           max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of their minhash
-    signature. Shuffle key = (band, bucket) — linear, not quadratic."""
+    signature. Shuffle key = (band, bucket) — linear, not quadratic.
+
+    ``max_bucket``: the 100 TB hot-bucket guard. The within-bucket
+    pair join is quadratic in bucket size, so one degenerate bucket
+    (boilerplate shingles, empty docs) can dominate the whole job; a
+    cap drops buckets with more than ``max_bucket`` members from
+    candidate generation — the standard "too-common band" treatment
+    (a bucket that common carries no near-dup signal anyway; raise
+    n_hashes/bands instead if it fires on real corpora). None (the
+    default) keeps exact classic LSH semantics."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, k, n_hashes)
     band_cols = []
@@ -94,6 +104,11 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 3, n_hashes: int = 16,
                                   _h60(F.concat_ws(",", *members)).alias("bucket")))
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
                  .select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        ok = (buckets.groupBy("band", "bucket")
+              .agg(F.count("*").alias("n"))
+              .filter(F.col("n") <= max_bucket).drop("n"))
+        buckets = buckets.join(ok, ["band", "bucket"])
     return (
         buckets.alias("x").join(buckets.alias("y"), ["band", "bucket"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))

@@ -121,3 +121,24 @@ def test_cluster_pairs_star_matches_propagation_and_beats_diameter(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup.cluster_pairs_star(chain, max_rounds=15).collect()}
     assert set(got.values()) == {0} and len(got) == 121
+
+
+def test_minhash_hot_bucket_guard(spark):
+    """max_bucket drops degenerate buckets (quadratic-blowup guard):
+    20 identical boilerplate docs share every band; with the cap their
+    190 pairs disappear while the genuine near-dup pair survives."""
+    from ssgp_toolbox_spark.functions import dedup
+
+    boiler = [(i, "the same boilerplate text repeated everywhere")
+              for i in range(20)]
+    real = [(100, "a unique document about spatial gapfilling engines"),
+            (101, "a unique document about spatial gapfilling engines")]
+    docs = spark.createDataFrame(boiler + real, "doc_id long, text string")
+    full = {(r["a"], r["b"]) for r in
+            dedup.minhash_lsh_candidates(docs).collect()}
+    capped = {(r["a"], r["b"]) for r in
+              dedup.minhash_lsh_candidates(docs, max_bucket=5).collect()}
+    assert (100, 101) in full and (100, 101) in capped
+    assert any(a < 20 and b < 20 for a, b in full)
+    assert not any(a < 20 and b < 20 for a, b in capped)
+    assert capped <= full
