@@ -182,7 +182,7 @@ def _centroid_dist(vec, cvec):
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 16, lloyd_iters: int = 2,
-             n_probe: int = 4) -> DataFrame:
+             n_probe: int = 4, train_stride: int = 1) -> DataFrame:
     """IVF ANN — the coarse-quantizer counterpart of ``lsh_topk``.
 
     The inverted-file index is built DECLARATIVELY so the whole
@@ -195,22 +195,28 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     engine-portable. Search probes the query's ``n_probe`` nearest
     cells and exact-cosine-ranks only those cells' vectors.
 
-    At 10^12 rows: training runs on a sample, assignment is one
-    broadcast join + narrow map (centroid table is tiny), the index
-    is a (cell → vectors) partitioning, and probe cost is
-    n_probe/n_cells of the corpus. Bench measures recall vs s01."""
+    At 10^12 rows: training runs on a sample — ``train_stride`` s
+    trains the Lloyd rounds on the deterministic 1/s subsample
+    ``vec_id % s == 0`` (every vector is still ASSIGNED and
+    searchable; only centroid fitting is subsampled, the standard IVF
+    practice). Assignment is one broadcast join + narrow map
+    (centroid table is tiny), the index is a (cell → vectors)
+    partitioning, and probe cost is n_probe/n_cells of the corpus.
+    Bench measures recall vs s01."""
     e = _normalize(_cast(embeddings).select(
         F.col("vec_id").alias("nid"), F.col("emb")))
+    train = e.filter(F.col("nid") % train_stride == 0) \
+        if train_stride > 1 else e
     # seeds: the n_cells lowest vec_ids regardless of id values
     # (orderBy+limit = distributed TakeOrdered, no global sort
     # shuffle); cid is their dense 0..n_cells-1 rank. Corpus must have
     # >= n_cells rows or the index has fewer cells than requested.
     wseed = Window.orderBy("nid")
-    cents = (e.orderBy("nid").limit(n_cells)
+    cents = (train.orderBy("nid").limit(n_cells)
              .select((F.row_number().over(wseed) - 1).cast("int").alias("cid"),
                      F.col("emb").alias("cvec")))
     for _ in range(lloyd_iters):
-        d = e.crossJoin(F.broadcast(cents)) \
+        d = train.crossJoin(F.broadcast(cents)) \
             .withColumn("dist", _centroid_dist(F.col("emb"), F.col("cvec")))
         w = Window.partitionBy("nid").orderBy("dist", "cid")
         assign = (d.withColumn("rn", F.row_number().over(w))

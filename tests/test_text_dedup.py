@@ -142,3 +142,24 @@ def test_minhash_hot_bucket_guard(spark):
     assert any(a < 20 and b < 20 for a, b in full)
     assert not any(a < 20 and b < 20 for a, b in capped)
     assert capped <= full
+
+
+def test_ivf_sampled_training_recall(spark):
+    """train_stride=4 fits centroids on a quarter of the corpus (the
+    10^12-row practice); every vector is still assigned and the
+    clustered-corpus recall property holds unchanged."""
+    from ssgp_toolbox_spark.functions import simsearch
+
+    rng = np.random.default_rng(9)
+    rows = []
+    centers = rng.standard_normal((4, 64)) * 5
+    for i in range(64):
+        c = centers[i % 4]
+        rows.append((i, [float(v) for v in (c + 0.1 * rng.standard_normal(64)).round(6)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = simsearch.ivf_topk(df, df.filter("vec_id < 8"), k=3,
+                             n_cells=8, n_probe=2, train_stride=4)
+    got = {(r["qid"], r["rank"]): r["nid"] for r in out.collect()}
+    assert len(got) == 8 * 3
+    for (q, rank), n in got.items():
+        assert n % 4 == q % 4, (q, rank, n)
