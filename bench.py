@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "d04_simhash",
     "t01_token_stats",
     "t03_fingerprint",
+    "t05_bpe_token_stats",
+    "d07_dedup_clusters_star",
     "s01_cosine_topk",
     "s03_lsh_topk",
 ]
