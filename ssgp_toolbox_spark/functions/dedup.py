@@ -118,7 +118,8 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 3, n_hashes: int = 16,
 
 
 def hamming_pairs(df: DataFrame, id_col: str = "image_id",
-                  hash_col: str = "phash", max_dist: int = 8) -> DataFrame:
+                  hash_col: str = "phash", max_dist: int = 8,
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by 64-bit-hash Hamming distance ≤ ``max_dist``
     WITHOUT a cross join: the hash is split into ``max_dist + 1``
     disjoint bit bands — by pigeonhole, two hashes within ``max_dist``
@@ -127,6 +128,17 @@ def hamming_pairs(df: DataFrame, id_col: str = "image_id",
     only. Shuffle key = (band, chunk): linear in corpus size at 10^12
     rows (same structure as minhash_lsh_candidates), vs the O(n²)
     pair enumeration a crossJoin would cost.
+
+    ``max_bucket``: the same 100 TB hot-bucket guard as
+    ``minhash_lsh_candidates`` — the within-(band, chunk) self-join is
+    quadratic in chunk membership, so a degenerate value (millions of
+    near-black images sharing one phash band) turns one bucket into
+    10^12 pair rows in a single task. The cap drops (band, chunk)
+    groups with more than ``max_bucket`` members from candidate
+    generation; pairs within ``max_dist`` still surface through any of
+    their other ``max_dist`` non-degenerate bands, so only pairs ALL
+    of whose shared bands are that hot are lost. None (default) keeps
+    exact pigeonhole semantics.
 
     Returns (a, b, hamming) with a < b."""
     n_bands = max_dist + 1
@@ -144,6 +156,11 @@ def hamming_pairs(df: DataFrame, id_col: str = "image_id",
         F.col(id_col).alias("id"), F.col(hash_col).alias("hash"),
         F.explode(F.array(*bands)).alias("bb"),
     ).select("id", "hash", "bb.band", "bb.chunk")
+    if max_bucket is not None:
+        ok = (buckets.groupBy("band", "chunk")
+              .agg(F.count("*").alias("n"))
+              .filter(F.col("n") <= max_bucket).drop("n"))
+        buckets = buckets.join(ok, ["band", "chunk"])
     x, y = buckets.alias("x"), buckets.alias("y")
     return (
         x.join(y, ["band", "chunk"])
@@ -180,7 +197,8 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         bits_per_table: int = 4, n_tables: int = 8,
-                        seed: int = 11) -> DataFrame:
+                        seed: int = 11,
+                        max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the fifth dedup family,
     over the embeddings table instead of text.
 
@@ -197,6 +215,13 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     t=0.95, b=4, 8 tables that is 1-(1-0.66)^8 ≈ 0.9998. The operator
     is deterministic given the seed, so an oracle reproducing the same
     planes reproduces the exact output.
+
+    ``max_bucket``: hot-bucket guard (see ``minhash_lsh_candidates``)
+    — a degenerate (tbl, bucket) group (e.g. a zero-vector cluster
+    whose signs all agree) makes the within-bucket join quadratic; the
+    cap drops groups above the threshold. A capped pair can still
+    collide in any of the other n_tables - 1 tables. None (default)
+    keeps exact multi-table LSH semantics.
     """
     from ssgp_toolbox_spark.functions import simsearch
 
@@ -206,6 +231,11 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     buck = emb.select(
         F.col("vec_id").alias("id"), F.col("emb"),
         F.posexplode(keys).alias("tbl", "bucket"))
+    if max_bucket is not None:
+        ok = (buck.groupBy("tbl", "bucket")
+              .agg(F.count("*").alias("n"))
+              .filter(F.col("n") <= max_bucket).drop("n"))
+        buck = buck.join(ok, ["tbl", "bucket"])
     x, y = buck.alias("x"), buck.alias("y")
     cand = (
         x.join(y, ["tbl", "bucket"])
@@ -323,14 +353,34 @@ def cluster_pairs_star(pairs: DataFrame, vertices: DataFrame | None = None,
         return (linked.union(self_link)
                 .filter(F.col("u") != F.col("v")).distinct())
 
+    def digest(edges: DataFrame):
+        # order-independent edge-set fingerprint: one cheap partial-agg
+        # shuffle (count + sum of row hashes) instead of two exceptAll
+        # shuffles per round — at 10^12 edges the convergence *check*
+        # otherwise costs as much as the contraction itself
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: ANSI-safe (no int64 overflow) up to
+            # ~10^19 edges
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     rounds = 0
+    prev_digest = digest(E)
     while True:
         new = small_star(large_star(E)).localCheckpoint(eager=True)
-        changed = (new.exceptAll(E).limit(1).count()
-                   or E.exceptAll(new).limit(1).count())
-        E = new
-        if not changed:
-            break
+        new_digest = digest(new)
+        if new_digest == prev_digest:
+            # digests agree → almost surely the fixpoint; confirm the
+            # one time it matters with the exact set comparison (a
+            # 64-bit sum collision would otherwise terminate early)
+            changed = (new.exceptAll(E).limit(1).count()
+                       or E.exceptAll(new).limit(1).count())
+            if not changed:
+                E = new
+                break
+        E, prev_digest = new, new_digest
         rounds += 1
         if rounds >= max_rounds:
             raise RuntimeError(

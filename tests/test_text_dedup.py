@@ -144,6 +144,46 @@ def test_minhash_hot_bucket_guard(spark):
     assert capped <= full
 
 
+def test_hamming_hot_bucket_guard(spark):
+    """max_bucket on hamming_pairs: 1,000 identical-phash images (the
+    near-black-corpus degenerate case) share every band chunk; the cap
+    drops their ~500k pairs while a genuine hamming-2 pair in a cold
+    region of hash space survives (its bands are not hot)."""
+    rows = [(f"blk-{i:04d}", 0x0F0F0F0F0F0F0F0F) for i in range(1000)]
+    rows += [("real-a", 0x7777000011112222), ("real-b", 0x7777000011112223)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    capped = {(r["a"], r["b"]) for r in dedup.hamming_pairs(
+        df, max_dist=8, max_bucket=50).collect()}
+    assert ("real-a", "real-b") in capped
+    assert not any(a.startswith("blk") for a, b in capped)
+    # default None keeps exact pigeonhole semantics on a small corpus
+    small = spark.createDataFrame(rows[:3] + rows[-2:],
+                                  "image_id string, phash long")
+    full = {(r["a"], r["b"]) for r in dedup.hamming_pairs(small).collect()}
+    assert ("real-a", "real-b") in full
+    assert sum(a.startswith("blk") and b.startswith("blk")
+               for a, b in full) == 3
+
+
+def test_embedding_hot_bucket_guard(spark):
+    """max_bucket on embedding_near_dups: 200 copies of one vector
+    collapse into the same bucket in every table; the cap removes
+    their quadratic pair set while the planted twin pair (cold
+    buckets) survives."""
+    rng = np.random.default_rng(13)
+    hot = [float(v) for v in rng.standard_normal(64).round(6)]
+    rows = [(i, hot) for i in range(200)]
+    base = rng.standard_normal(64)
+    twin = base + 0.01 * rng.standard_normal(64)
+    rows += [(900, [float(v) for v in base.round(6)]),
+             (901, [float(v) for v in twin.round(6)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = {(r["a"], r["b"]) for r in dedup.embedding_near_dups(
+        df, threshold=0.95, max_bucket=50).collect()}
+    assert (900, 901) in capped
+    assert not any(a < 200 and b < 200 for a, b in capped)
+
+
 def test_ivf_sampled_training_recall(spark):
     """train_stride=4 fits centroids on a quarter of the corpus (the
     10^12-row practice); every vector is still assigned and the
