@@ -99,9 +99,14 @@ def run(cpus: int, deploy: bool = False) -> dict:
             jb = os.path.join(td, "job.py")
             # strip the local-path shim so imports genuinely resolve
             # from the shipped --py-files zip
+            stripped = script.replace(f'sys.path.insert(0, "{REPO}")', "pass")
+            # if the JOB template's shim line ever drifts, the replace
+            # above silently no-ops and the "deploy path" evidence
+            # would actually import from the local repo — fail instead
+            assert "sys.path.insert" not in stripped, \
+                "deploy shim strip failed: JOB template drifted"
             with open(jb, "w") as f:
-                f.write(script.replace(f'sys.path.insert(0, "{REPO}")',
-                                       "pass"))
+                f.write(stripped)
             # --driver-memory must be on the submit line: session.py's
             # spark.driver.memory=8g arrives after the driver JVM
             # exists and is ignored under spark-submit (the in-process
