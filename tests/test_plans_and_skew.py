@@ -120,8 +120,24 @@ def test_banded_joins_have_no_cartesian_product(spark, qname):
     df = em.queries()[qname](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "CartesianProduct" not in plan, qname
-    if qname != "s04_ivf_topk":
-        assert "BroadcastNestedLoopJoin" not in plan, qname
-    # s04's BroadcastNestedLoopJoins are the deliberate
-    # broadcast-centroid probes (constant n_cells-row side,
-    # simsearch.ivf_topk docstring) — only CartesianProduct is banned
+    # since the round-4 literal-centroid rewrite s04 has no
+    # nested-loop joins left either: assignment and probing are
+    # narrow projections (simsearch.ivf_assign)
+    assert "BroadcastNestedLoopJoin" not in plan, qname
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """The corpus → cell assignment of the IVF index must be a
+    zero-shuffle narrow projection: no Exchange, no Window, no join —
+    centroids are driver-known literals (round-3 VERDICT 'What's
+    wrong' #3). At 10^12 rows anything else multiplies or shuffles
+    the corpus per Lloyd round."""
+    from ssgp_toolbox_spark.functions import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = simsearch._normalize(simsearch._cast(emb).select(
+        F.col("vec_id").alias("nid"), F.col("emb")))
+    cents = [[float(i == j) for j in range(64)] for i in range(16)]
+    plan = _plan(simsearch.ivf_assign(e, cents))
+    for banned in ("Exchange", "Window", "Join", "CartesianProduct"):
+        assert banned not in plan, banned
