@@ -1,0 +1,92 @@
+"""Recall gates for the ANN family (round-3 VERDICT 'Next round' #4).
+
+bench.py measures recall@5 for s03/s04 but the correctness gate's
+oracles only mirror whatever the operator computes — a code change
+silently dropping recall to 0.5 would stay green. These tests pin
+recall@5 vs the exact ``cosine_topk`` baseline in pytest, on both the
+harness embeddings (near-orthogonal, LSH's worst case) and a planted
+clustered corpus (the shape real embedding spaces have). Everything
+is seeded/deterministic, so the asserted floors are stable, not
+flaky.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssgp_toolbox_spark.functions import simsearch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _recall_at_k(exact_df, ann_df) -> float:
+    brute = {}
+    for r in exact_df.collect():
+        brute.setdefault(r["qid"], set()).add(r["nid"])
+    hits = sum(1 for r in ann_df.collect()
+               if r["nid"] in brute.get(r["qid"], set()))
+    total = sum(len(v) for v in brute.values())
+    return hits / total
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """10 tight Gaussian clusters, 2000 vectors (the exact bench.py
+    clustered_lsh corpus) — queries are one member per cluster, so
+    the true top-5 are in-cluster twins."""
+    rng = np.random.default_rng(42)
+    n_clusters, per, dim = 10, 200, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    E = np.repeat(centers, per, axis=0) + 0.05 * rng.standard_normal(
+        (n_clusters * per, dim))
+    E = E.round(4)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False)])
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in E[i]]) for i in range(len(E))], schema)
+    qids = [i * per for i in range(n_clusters)]
+    q = df.filter(df.vec_id.isin(qids))
+    return df, q
+
+
+def test_ivf_recall_harness(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = simsearch.cosine_topk(emb, q, k=5)
+    ann = simsearch.ivf_topk(emb, q, k=5)
+    assert _recall_at_k(exact, ann) >= 0.9
+
+
+def test_lsh_recall_harness(spark):
+    """Near-orthogonal harness corpus: the documented LSH worst case
+    (simsearch.lsh_topk docstring: ≈0.9 at sf0.1; measured 0.88 at
+    this sf0.001 corpus — deterministic). Gate at the worst-case
+    floor: this catches a silent recall collapse without pinning the
+    corpus-size-dependent third digit. The ≥0.9 bar lives on the
+    clustered corpus below, where LSH is actually expected to hold
+    recall."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = simsearch.cosine_topk(emb, q, k=5)
+    ann = simsearch.lsh_topk(emb, q, k=5)
+    assert _recall_at_k(exact, ann) >= 0.85
+
+
+def test_ivf_recall_clustered(spark, clustered):
+    df, q = clustered
+    exact = simsearch.cosine_topk(df, q, k=5)
+    ann = simsearch.ivf_topk(df, q, k=5)
+    assert _recall_at_k(exact, ann) >= 0.9
+
+
+def test_lsh_recall_clustered(spark, clustered):
+    """Clustered corpus at the documented high-similarity config
+    (bits_per_table raised with neighbor cosine): recall holds while
+    pruning hard — the BENCH_r03 evidence, now gated."""
+    df, q = clustered
+    exact = simsearch.cosine_topk(df, q, k=5)
+    ann = simsearch.lsh_topk(df, q, k=5, bits_per_table=6, n_tables=8)
+    assert _recall_at_k(exact, ann) >= 0.9
