@@ -199,6 +199,32 @@ def bench_rasters(spark, timings: dict) -> dict:
     return extras
 
 
+def bench_streaming(spark, qs, timings: dict) -> dict:
+    """Streaming paths (round-3 VERDICT 'Next round' #6): the r16-r18
+    contract queries timed end-to-end — each runs one availableNow
+    pass (source setup → micro-batch(es) → memory sink → collect), so
+    a state-size or throughput regression in applyInPandasWithState /
+    windowed min_by / the stream-static join becomes a visible bench
+    number. r16 additionally reports fill throughput (its 2-image
+    corpus crosses the full stream-static-join + kernel path)."""
+    from pyspark.sql import functions as F
+
+    extras = {}
+    t0 = time.time()
+    out = qs["r16_streaming_gapfill"](spark, SF_DIR)
+    px = out.agg(F.sum("filled_px")).collect()[0][0] or 0
+    dt = time.time() - t0
+    timings["r16_streaming_gapfill"] = round(dt, 3)
+    extras["streaming_gapfill_px_per_sec"] = round(px / dt, 1)
+    for name in ("r17_streaming_discretize", "r18_streaming_dedup"):
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        extras[f"{name.split('_', 1)[1]}_rows_per_sec"] = round(n / dt, 2)
+    return extras
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
     from ssgp_toolbox_spark.session import get_spark
@@ -215,6 +241,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         assert n >= 0
     extras = bench_rasters(spark, timings)
+    extras.update(bench_streaming(spark, qs, timings))
     extras.update(lsh_recall(spark, qs))
     extras.update(clustered_lsh(spark))
     total = round(sum(timings.values()), 3)

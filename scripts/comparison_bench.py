@@ -152,7 +152,8 @@ def main():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from ssgp_toolbox_spark.session import get_spark
 
-    sites = sys.argv[1:] or SITES
+    # `--all` (or no args) = the full 3-site x 8-ladder sweep
+    sites = [a for a in sys.argv[1:] if not a.startswith('-')] or SITES
     spark = get_spark("comparison-bench")
     results = {}
     for site in sites:

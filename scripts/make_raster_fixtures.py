@@ -335,6 +335,27 @@ def main():
         rows["phash"].append(oracles.phash64_oracle(m))
     write("r08_phash", rows)
 
+    # ---- r19: nn_fill under a custom key_values encoding
+    # (gapfiller.py:826-828 / 901-913): the SAME corpus with its
+    # sentinels remapped to the custom codes, filled by the kv-aware
+    # naive transcription. Codes chosen collision-free (valid data is
+    # ~276..305 K).
+    kv = {"gap": -7.5, "skip": -15.25, "NoData": -9999.0}
+    rows = {"image_id": [], "status": [], "filled_px": [], "phash": []}
+    for iid, m in inputs:
+        mr = m.copy()
+        mr[m == GAP] = kv["gap"]
+        mr[m == oracles.SKIP] = kv["skip"]
+        mr[m == oracles.NODATA] = kv["NoData"]
+        filled, status = oracles.nn_fill_kv_oracle(
+            mr, kv["gap"], kv["skip"], kv["NoData"])
+        rows["image_id"].append(iid)
+        rows["status"].append(status)
+        rows["filled_px"].append(
+            int((mr == kv["gap"]).sum()) if status == "filled" else 0)
+        rows["phash"].append(oracles.phash64_oracle(filled))
+    write("r19_expected", rows)
+
 
 if __name__ == "__main__":
     main()

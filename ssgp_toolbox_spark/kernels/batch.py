@@ -30,11 +30,12 @@ import numpy as np
 
 from ssgp_toolbox_spark.kernels import frame as FR
 from ssgp_toolbox_spark.kernels import regressors
-from ssgp_toolbox_spark.sentinels import GAP, NODATA, SKIP
+from ssgp_toolbox_spark.sentinels import DEFAULT_SENTINELS, Sentinels
 
 
-def _is_sentinel(a: np.ndarray) -> np.ndarray:
-    return (a == GAP) | (a == SKIP) | (a == NODATA)
+def _is_sentinel(a: np.ndarray,
+                 sv: Sentinels = DEFAULT_SENTINELS) -> np.ndarray:
+    return (a == sv.gap) | (a == sv.skip) | (a == sv.nodata)
 
 
 def _knn_predict(X_train, y_train, X_test, k: int, weights: str):
@@ -138,13 +139,14 @@ def _knn_coords_exact(cands: np.ndarray, blk: np.ndarray, k: int,
         m *= 2
 
 
-def _biome_coords_batched(final, extra, gaps, seed, coord_offset=(0, 0)):
+def _biome_coords_batched(final, extra, gaps, seed, coord_offset=(0, 0),
+                          sv: Sentinels = DEFAULT_SENTINELS):
     """Predictor coords for all gap pixels under 'Biome' (reference
     gapfiller.py:500-586 semantics incl. first-index tie-break and the
     101-random fallback for small biomes). ``coord_offset`` is the
     window's absolute origin (tiled path): fallback RNG seeds key on
     ABSOLUTE pixel coords so tiling never changes a pixel's seed."""
-    masked = np.where(final == GAP, GAP, extra)
+    masked = np.where(final == sv.gap, sv.gap, extra)
     P = len(gaps)
     out = np.empty((P, FR.N_NEAREST + 1, 2), dtype=np.int64)
     codes = extra[gaps[:, 0], gaps[:, 1]]
@@ -162,7 +164,7 @@ def _biome_coords_batched(final, extra, gaps, seed, coord_offset=(0, 0)):
             for s in sel:
                 r, c = (int(v) for v in gaps[s])
                 rng = FR._pixel_rng(seed, r + dr, c + dc)
-                rand = FR.select_random(final, (r, c), rng)[:-1]
+                rand = FR.select_random(final, (r, c), rng, sv)[:-1]
                 out[s, :-1] = FR._k_nearest(rand, (r, c), FR.N_NEAREST)
     out[:, -1] = gaps
     return out
@@ -170,7 +172,8 @@ def _biome_coords_batched(final, extra, gaps, seed, coord_offset=(0, 0)):
 
 def select_coords(final: np.ndarray, extra: np.ndarray | None,
                   gaps: np.ndarray, predictor_configuration: str,
-                  seed: int, coord_offset: tuple[int, int] = (0, 0)) -> np.ndarray:
+                  seed: int, coord_offset: tuple[int, int] = (0, 0),
+                  sv: Sentinels = DEFAULT_SENTINELS) -> np.ndarray:
     """Predictor coords (P, C, 2) for the given gap pixels, target
     coord appended last — the selection block shared by the batched
     kNN fill and the deep-history operator's coords pass. Per-pixel
@@ -180,14 +183,16 @@ def select_coords(final: np.ndarray, extra: np.ndarray | None,
     if predictor_configuration == "Biome":
         if extra is None:
             raise ValueError("Biome mode requires the extra (zone) matrix")
-        return _biome_coords_batched(final, extra, gaps, seed, coord_offset)
+        return _biome_coords_batched(final, extra, gaps, seed, coord_offset,
+                                     sv)
     if predictor_configuration == "Random":
         return np.stack([
-            FR.select_random(final, (int(r), int(c)), FR._pixel_rng(seed, int(r), int(c)))
+            FR.select_random(final, (int(r), int(c)),
+                             FR._pixel_rng(seed, int(r), int(c)), sv)
             for r, c in gaps
         ])
     if predictor_configuration == "All":
-        base = np.argwhere(final != GAP)
+        base = np.argwhere(final != sv.gap)
         coords = np.empty((P, len(base) + 1, 2), dtype=np.int64)
         coords[:, :-1] = base[None, :, :]
         coords[:, -1] = gaps
@@ -202,7 +207,8 @@ def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
                    params: dict | None = None, seed: int = 0,
                    gap_slice: tuple[int, int] | None = None,
                    gap_subset: np.ndarray | None = None,
-                   coord_offset: tuple[int, int] = (0, 0)):
+                   coord_offset: tuple[int, int] = (0, 0),
+                   sv: Sentinels = DEFAULT_SENTINELS):
     """Batched equivalent of frame.fill_image(method='Knn', ...).
     Custom mode only (the grid-search modes go through the generic
     path). Returns (filled, scores) with scores in gap scan order.
@@ -219,8 +225,8 @@ def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
         return FR.fill_image(final, tensor, extra=extra, method="Knn",
                              predictor_configuration=predictor_configuration,
                              hyperparameters=hyperparameters, params=params,
-                             seed=seed)
-    gaps = np.argwhere(final == GAP)
+                             seed=seed, sv=sv)
+    gaps = np.argwhere(final == sv.gap)
     if gap_slice is not None:
         gaps = gaps[gap_slice[0] : gap_slice[1]]
     if gap_subset is not None:  # explicit (r, c) targets (tiled path)
@@ -230,19 +236,21 @@ def fill_image_knn(final: np.ndarray, tensor: np.ndarray,
     if P == 0:
         return filled, []
     coords = select_coords(final, extra, gaps, predictor_configuration,
-                           seed, coord_offset)
+                           seed, coord_offset, sv)
 
     hist = tensor[:, coords[..., 0], coords[..., 1]]        # (L, P, C)
     last = final[coords[..., 0], coords[..., 1]]            # (P, C)
-    preds, scores, skip_px = fill_gathered_knn(hist, last, k, weights, seed)
-    filled[gaps[skip_px, 0], gaps[skip_px, 1]] = SKIP
+    preds, scores, skip_px = fill_gathered_knn(hist, last, k, weights, seed,
+                                               sv)
+    filled[gaps[skip_px, 0], gaps[skip_px, 1]] = sv.skip
     done = ~skip_px
     filled[gaps[done, 0], gaps[done, 1]] = preds[done]
     return filled, [float(s) for s in scores[done]]
 
 
 def fill_gathered_knn(hist: np.ndarray, last: np.ndarray, k: int,
-                      weights: str, seed: int):
+                      weights: str, seed: int,
+                      sv: Sentinels = DEFAULT_SENTINELS):
     """The post-gather core of ``fill_image_knn``: operates on the
     pre-gathered frame blocks only — ``hist`` (L, P, C) history values
     at each pixel's predictor coords (target coord last), ``last``
@@ -255,7 +263,7 @@ def fill_gathered_knn(hist: np.ndarray, last: np.ndarray, k: int,
     target_hist = hist[:, :, -1]                            # (L, P)
 
     # F5: any skip in the target column → output skip
-    skip_px = (target_hist == SKIP).any(axis=0)
+    skip_px = (target_hist == sv.skip).any(axis=0)
 
     # ---- batched frame cleaning (F5b/F6/F7/F8/A2 re-expressed) -----
     # Column *drops* become zero-masking: kNN uses only pairwise
@@ -265,9 +273,9 @@ def fill_gathered_knn(hist: np.ndarray, last: np.ndarray, k: int,
     # target-validity row mask (an all-NaN row has a NaN target), and
     # its effect on medians is nil because its values are all NaN.
     frames = np.concatenate([hist[:, :, :-1], last[None, :, :-1]])  # (L+1, P, C-1)
-    col_keep = ~(frames == SKIP).any(axis=0)                # F5b  (P, C-1)
+    col_keep = ~(frames == sv.skip).any(axis=0)             # F5b  (P, C-1)
     vals = frames.copy()
-    vals[(vals == GAP) | (vals == NODATA)] = np.nan         # F6
+    vals[(vals == sv.gap) | (vals == sv.nodata)] = np.nan   # F6
     col_keep &= ~np.isnan(vals[-1])                         # F8 (NaN at target row)
     import warnings
 
@@ -292,8 +300,9 @@ def fill_gathered_knn(hist: np.ndarray, last: np.ndarray, k: int,
 
     if fast.any():
         fidx = np.flatnonzero(fast)
-        valid_t = ~((target_hist[:, fidx] == GAP) | (target_hist[:, fidx] == NODATA)
-                    | (target_hist[:, fidx] == SKIP))       # (L, f)
+        valid_t = ~((target_hist[:, fidx] == sv.gap)
+                    | (target_hist[:, fidx] == sv.nodata)
+                    | (target_hist[:, fidx] == sv.skip))    # (L, f)
         patterns = np.packbits(valid_t, axis=0).T
         uniq, inv = np.unique(patterns, axis=0, return_inverse=True)
         for u in range(len(uniq)):
@@ -310,7 +319,8 @@ def fill_gathered_knn(hist: np.ndarray, last: np.ndarray, k: int,
             scores[grp] = sc
 
     for s in np.flatnonzero(slow):
-        res = FR.clean_frame(np.vstack([hist[:, s, :], last[s][None, :]]))
+        res = FR.clean_frame(np.vstack([hist[:, s, :], last[s][None, :]]),
+                             sv)
         if isinstance(res, str):
             skip_px[s] = True
             continue

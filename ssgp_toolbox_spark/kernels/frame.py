@@ -34,7 +34,7 @@ from __future__ import annotations
 import numpy as np
 
 from ssgp_toolbox_spark.kernels import regressors
-from ssgp_toolbox_spark.sentinels import GAP, NODATA, SKIP
+from ssgp_toolbox_spark.sentinels import DEFAULT_SENTINELS, Sentinels
 
 N_RANDOM = 101  # reference samples 101 distinct valid coords (O4 quirk)
 N_NEAREST = 40
@@ -57,15 +57,17 @@ def cv_seed(seed: int, n_train: int) -> int:
     return (seed * 2_654_435_761 + n_train * 97) % (2**63 - 1)
 
 
-def select_all(final: np.ndarray, coord: tuple[int, int]) -> np.ndarray:
+def select_all(final: np.ndarray, coord: tuple[int, int],
+               sv: Sentinels = DEFAULT_SENTINELS) -> np.ndarray:
     """'All' strategy: every non-gap pixel (incl. skip/NoData — they
     are cleaned later), target appended last (gapfiller.py:438-443)."""
-    coords = np.argwhere(final != GAP)
+    coords = np.argwhere(final != sv.gap)
     return np.vstack([coords, [coord]])
 
 
 def select_random(final: np.ndarray, coord: tuple[int, int],
-                  rng: np.random.Generator) -> np.ndarray:
+                  rng: np.random.Generator,
+                  sv: Sentinels = DEFAULT_SENTINELS) -> np.ndarray:
     """'Random' strategy: 101 distinct valid coords, target appended
     last (gapfiller.py:457-486). The reference rejection-samples with
     unseeded ``random.randint`` — which silently never terminates when
@@ -74,7 +76,8 @@ def select_random(final: np.ndarray, coord: tuple[int, int],
     Ours draws a seeded permutation of the valid set: same contract
     (101 distinct valid, uniform), deterministic per pixel, O(valid),
     and raises instead of hanging on infeasible images."""
-    valid = np.argwhere((final != GAP) & (final != SKIP) & (final != NODATA))
+    valid = np.argwhere((final != sv.gap) & (final != sv.skip)
+                        & (final != sv.nodata))
     if len(valid) < N_RANDOM:
         raise ValueError(
             f"Random predictor selection needs {N_RANDOM} valid pixels, "
@@ -93,17 +96,18 @@ def _k_nearest(coords: np.ndarray, coord: tuple[int, int], k: int) -> np.ndarray
 
 
 def select_biome(final: np.ndarray, coord: tuple[int, int], extra: np.ndarray,
-                 rng: np.random.Generator) -> np.ndarray:
+                 rng: np.random.Generator,
+                 sv: Sentinels = DEFAULT_SENTINELS) -> np.ndarray:
     """'Biome' strategy (gapfiller.py:500-586): same-biome candidates
     not currently gapped; >41 → 40 nearest; else 101 random valid →
     40 nearest of those. Target appended last."""
     code = extra[coord[0], coord[1]]
-    masked = np.where(final == GAP, GAP, extra)
+    masked = np.where(final == sv.gap, sv.gap, extra)
     coords = np.argwhere(masked == code)
     if len(coords) > BIOME_MIN:
         sel = _k_nearest(coords, coord, N_NEAREST)
     else:
-        rand = select_random(final, coord, rng)[:-1]  # drop appended target
+        rand = select_random(final, coord, rng, sv)[:-1]  # drop appended target
         sel = _k_nearest(rand, coord, N_NEAREST)
     return np.vstack([sel, [coord]])
 
@@ -116,16 +120,16 @@ def build_frame(tensor: np.ndarray, final: np.ndarray, coords: np.ndarray) -> np
     return np.vstack([hist, last[None, :]])
 
 
-def clean_frame(frame: np.ndarray):
+def clean_frame(frame: np.ndarray, sv: Sentinels = DEFAULT_SENTINELS):
     """F5-F9 + A2. Returns (X_train, y_train, X_test) or the string
     'skip' when the target column contains a skip value."""
     target_col = frame[:, -1]
-    if (target_col == SKIP).any():
+    if (target_col == sv.skip).any():
         return "skip"
-    keep = ~(frame == SKIP).any(axis=0)
+    keep = ~(frame == sv.skip).any(axis=0)
     keep[-1] = True  # target column always kept
     f = frame[:, keep].astype(np.float64)
-    f[(f == GAP) | (f == NODATA)] = np.nan
+    f[(f == sv.gap) | (f == sv.nodata)] = np.nan
     # F7: drop all-NaN rows
     f = f[~np.isnan(f).all(axis=1)]
     # F8: drop predictor columns NaN at the target timestep (last row)
@@ -147,7 +151,8 @@ def clean_frame(frame: np.ndarray):
 
 def fill_gathered(hist: np.ndarray, last: np.ndarray, gaps: np.ndarray,
                   method: str = "Lasso", hyperparameters: str = "Custom",
-                  params: dict | None = None, seed: int = 0):
+                  params: dict | None = None, seed: int = 0,
+                  sv: Sentinels = DEFAULT_SENTINELS):
     """Per-pixel fill over PRE-GATHERED frame blocks — the generic-
     method counterpart of ``batch.fill_gathered_knn``. ``hist``
     (L, P, C) history values at each gap pixel's predictor coords
@@ -163,7 +168,7 @@ def fill_gathered(hist: np.ndarray, last: np.ndarray, gaps: np.ndarray,
     scores = np.full(P, np.nan)
     skip_px = np.zeros(P, dtype=bool)
     for i in range(P):
-        res = clean_frame(np.vstack([hist[:, i, :], last[i][None, :]]))
+        res = clean_frame(np.vstack([hist[:, i, :], last[i][None, :]]), sv)
         if isinstance(res, str):  # 'skip'
             skip_px[i] = True
             continue
@@ -185,7 +190,8 @@ def fill_image(final: np.ndarray, tensor: np.ndarray,
                extra: np.ndarray | None = None, method: str = "Knn",
                predictor_configuration: str = "Random",
                hyperparameters: str = "Custom", params: dict | None = None,
-               seed: int = 0, gap_slice: tuple[int, int] | None = None):
+               seed: int = 0, gap_slice: tuple[int, int] | None = None,
+               sv: Sentinels = DEFAULT_SENTINELS):
     """Fill every gap pixel of ``final`` using the temporal stack
     ``tensor``; returns (filled matrix, list of |CV-MAE| scores).
     Equivalent of the reference's per-image ``__learning_and_fill``
@@ -193,7 +199,7 @@ def fill_image(final: np.ndarray, tensor: np.ndarray,
     fills only that positional range of the row-major gap scan
     (chunked operators) — per-pixel seeding keeps results identical
     to the whole-image fill."""
-    gaps = np.argwhere(final == GAP)
+    gaps = np.argwhere(final == sv.gap)
     if gap_slice is not None:
         gaps = gaps[gap_slice[0] : gap_slice[1]]
     filled = final.copy()
@@ -203,16 +209,16 @@ def fill_image(final: np.ndarray, tensor: np.ndarray,
         if predictor_configuration == "Biome":
             if extra is None:
                 raise ValueError("Biome mode requires the extra (zone) matrix")
-            coords = select_biome(final, (r, c), extra, rng)
+            coords = select_biome(final, (r, c), extra, rng, sv)
         elif predictor_configuration == "All":
-            coords = select_all(final, (r, c))
+            coords = select_all(final, (r, c), sv)
         elif predictor_configuration == "Random":
-            coords = select_random(final, (r, c), rng)
+            coords = select_random(final, (r, c), rng, sv)
         else:
             raise ValueError(f"unknown predictor_configuration {predictor_configuration!r}")
-        res = clean_frame(build_frame(tensor, final, coords))
+        res = clean_frame(build_frame(tensor, final, coords), sv)
         if isinstance(res, str):  # 'skip': any skip in the target column
-            filled[r, c] = SKIP
+            filled[r, c] = sv.skip
             continue
         X_train, y_train, X_test = res
         s = cv_seed(seed, len(y_train))

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ssgp_toolbox_spark.sentinels import GAP, NODATA, SKIP
+from ssgp_toolbox_spark.sentinels import DEFAULT_SENTINELS, Sentinels
 
 MIN_VALID = 10  # reference viability threshold for EP2 (gapfiller.py:924-929)
 
@@ -83,25 +83,26 @@ def nn_lookup_grid(matrix: np.ndarray, valid: np.ndarray,
     return matrix[rows_sel, k.astype(np.int64)]
 
 
-def nn_interpolate(matrix: np.ndarray):
+def nn_interpolate(matrix: np.ndarray,
+                   sv: Sentinels = DEFAULT_SENTINELS):
     """Returns (filled matrix, status) where status ∈
     {'filled', 'passthrough', 'not_enough_valid'} mirroring the
     reference's branches (gapfiller.py:920-962)."""
     m = np.asarray(matrix, dtype=np.float64)
-    invalid = (m == GAP) | (m == SKIP) | (m == NODATA)
+    invalid = (m == sv.gap) | (m == sv.skip) | (m == sv.nodata)
     n_valid = int((~invalid).sum())
     if n_valid <= MIN_VALID:
         return m.copy(), "not_enough_valid"
-    if (m == GAP).sum() == 0:
+    if (m == sv.gap).sum() == 0:
         return m.copy(), "passthrough"
     work = m.copy()
     # flatten skip/NoData into the fill set (gapfiller.py:942-944)
-    work[(work == SKIP) | (work == NODATA)] = GAP
-    fill_targets = np.argwhere(work == GAP)
+    work[(work == sv.skip) | (work == sv.nodata)] = sv.gap
+    fill_targets = np.argwhere(work == sv.gap)
     work[fill_targets[:, 0], fill_targets[:, 1]] = nn_lookup_grid(
-        work, work != GAP, fill_targets
+        work, work != sv.gap, fill_targets
     )
     # restore pristine skip/NoData (gapfiller.py:960-962)
-    work[m == SKIP] = SKIP
-    work[m == NODATA] = NODATA
+    work[m == sv.skip] = sv.skip
+    work[m == sv.nodata] = sv.nodata
     return work, "filled"

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ssgp_toolbox_spark.sentinels import GAP, SKIP
+from ssgp_toolbox_spark.sentinels import DEFAULT_SENTINELS, Sentinels
 
 
 def neighbor_schedule(gap_mask: np.ndarray, n_neighbors: int):
@@ -74,7 +74,8 @@ def _fill_pattern_poly(stack: np.ndarray, cols: np.ndarray,
 
 
 def fill_stack(stack: np.ndarray, filling_method: str | None,
-               n_neighbors: int = 5, poly_degree: int = 2) -> np.ndarray:
+               n_neighbors: int = 5, poly_degree: int = 2,
+               sv: Sentinels = DEFAULT_SENTINELS) -> np.ndarray:
     """Apply the per-pixel series rules to a (T, H, W) or (T, N)
     stack: any skip in a series → whole series skip
     (timeseries.py:293-295); series with gaps filled per
@@ -83,13 +84,13 @@ def fill_stack(stack: np.ndarray, filling_method: str | None,
     T = orig_shape[0]
     flat = stack.reshape(T, -1).astype(np.float64, copy=True)
 
-    skip_cols = (flat == SKIP).any(axis=0)
-    flat[:, skip_cols] = SKIP
+    skip_cols = (flat == sv.skip).any(axis=0)
+    flat[:, skip_cols] = sv.skip
 
     if filling_method in (None, "None"):
         return flat.reshape(orig_shape)
 
-    gap_mask = flat == GAP  # (T, N)
+    gap_mask = flat == sv.gap  # (T, N)
     candidate = ~skip_cols & gap_mask.any(axis=0)
     if candidate.any():
         pat = gap_mask[:, candidate]  # (T, M)

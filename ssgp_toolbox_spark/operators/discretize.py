@@ -39,7 +39,8 @@ from pyspark.sql import types as T
 
 from ssgp_toolbox_spark import codecs
 from ssgp_toolbox_spark.kernels import timeseries as ts_kernel
-from ssgp_toolbox_spark.sentinels import GAP
+from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          resolve_key_values)
 
 STEP_SECONDS = {"12H": 43200, "6H": 21600, "24H": 86400, "1D": 86400}
 
@@ -87,7 +88,8 @@ def site_grid(layers: DataFrame, step_s: int) -> DataFrame:
     return bounds, grid
 
 
-def _resolve_batches(averaging: str, step_s: int):
+def _resolve_batches(averaging: str, step_s: int,
+                     sv: Sentinels = DEFAULT_SENTINELS):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in GRID_SCHEMA.fieldNames()}
@@ -97,7 +99,7 @@ def _resolve_batches(averaging: str, step_s: int):
                 centroid_ns = start_ns + int((row.bucket + 0.5) * step_s * 1e9)
                 h, w, fmt = int(row.h), int(row.w), row.fmt
                 if layers is None or len(layers) == 0:
-                    payload = codecs.encode(np.full((h, w), GAP), fmt)
+                    payload = codecs.encode(np.full((h, w), sv.gap), fmt)
                     n = 0
                 elif len(layers) == 1:
                     payload, n = layers[0]["bytes"], 1
@@ -129,14 +131,16 @@ def _resolve_batches(averaging: str, step_s: int):
     return fn
 
 
-def _fill_group(filling_method, n_neighbors, poly_degree):
+def _fill_group(filling_method, n_neighbors, poly_degree,
+                sv: Sentinels = DEFAULT_SENTINELS):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket").reset_index(drop=True)
         h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
         stack = np.stack([
             codecs.decode(b, h, w, f) for b, f in zip(pdf["bytes"], pdf["fmt"])
         ])
-        filled = ts_kernel.fill_stack(stack, filling_method, n_neighbors, poly_degree)
+        filled = ts_kernel.fill_stack(stack, filling_method, n_neighbors,
+                                      poly_degree, sv)
         pdf["bytes"] = [codecs.encode(filled[i], pdf["fmt"].iloc[i]) for i in range(len(pdf))]
         return pdf
 
@@ -184,7 +188,8 @@ def _tile_explode_grid(tile: int):
     return fn
 
 
-def _fill_tile_group(filling_method, n_neighbors, poly_degree):
+def _fill_tile_group(filling_method, n_neighbors, poly_degree,
+                     sv: Sentinels = DEFAULT_SENTINELS):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket").reset_index(drop=True)
         ph, pw = int(pdf["ph"].iloc[0]), int(pdf["pw"].iloc[0])
@@ -193,7 +198,7 @@ def _fill_tile_group(filling_method, n_neighbors, poly_degree):
             for b in pdf["tile_bytes"]
         ])
         filled = ts_kernel.fill_stack(stack, filling_method, n_neighbors,
-                                      poly_degree)
+                                      poly_degree, sv)
         pdf["tile_bytes"] = [
             np.ascontiguousarray(filled[i], "<f8").tobytes()
             for i in range(len(pdf))
@@ -221,7 +226,8 @@ def _assemble_grid(key, pdf: pd.DataFrame) -> pd.DataFrame:
 def discretize(layers: DataFrame, timestep: str = "12H",
                averaging: str = "None", filling_method: str | None = "None",
                n_neighbors: int = 5, poly_degree: int = 2,
-               tile: int | None = None) -> DataFrame:
+               tile: int | None = None,
+               key_values: dict | None = None) -> DataFrame:
     """``layers`` must carry (site, ts, bytes, h, w, fmt). Returns the
     gridded + temporally filled stack, one row per (site, bucket).
 
@@ -229,7 +235,13 @@ def discretize(layers: DataFrame, timestep: str = "12H",
     (site, tx, ty) instead of (site) — group memory drops from
     buckets × raster² to buckets × tile², which is what bounds a task
     at 10^5×10^5-pixel sites. Bit-identical to the untiled path (the
-    fill is per-pixel; tiles exchange nothing)."""
+    fill is per-pixel; tiles exchange nothing).
+
+    ``key_values``: sentinel override, the reference's
+    ``Discretizator(key_values=...)`` (timeseries.py:31-38): blank
+    buckets materialize as the overridden gap value and the temporal
+    fill's gap/skip predicates use the overridden encoding."""
+    sv = resolve_key_values(key_values)
     step_s = parse_step(timestep)
     bounds, grid = site_grid(layers, step_s)
 
@@ -247,15 +259,16 @@ def discretize(layers: DataFrame, timestep: str = "12H",
     )
     resolved = slots.select(
         "site", "bucket", "start", "h", "w", "fmt", "layers"
-    ).mapInPandas(_resolve_batches(averaging, step_s), GRID_SCHEMA)
+    ).mapInPandas(_resolve_batches(averaging, step_s, sv), GRID_SCHEMA)
 
     if tile is None:
         return resolved.groupBy("site").applyInPandas(
-            _fill_group(filling_method, n_neighbors, poly_degree), GRID_SCHEMA
+            _fill_group(filling_method, n_neighbors, poly_degree, sv),
+            GRID_SCHEMA
         )
     tiles = resolved.mapInPandas(_tile_explode_grid(tile), _GRID_TILE_SCHEMA)
     filled = tiles.groupBy("site", "tx", "ty").applyInPandas(
-        _fill_tile_group(filling_method, n_neighbors, poly_degree),
+        _fill_tile_group(filling_method, n_neighbors, poly_degree, sv),
         _GRID_TILE_SCHEMA,
     )
     return filled.groupBy("site", "bucket").applyInPandas(

@@ -44,7 +44,8 @@ from pyspark.sql import types as T
 
 from ssgp_toolbox_spark import codecs
 from ssgp_toolbox_spark.kernels import frame as frame_kernel
-from ssgp_toolbox_spark.sentinels import GAP
+from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          resolve_key_values)
 
 GAPFILL_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -82,7 +83,8 @@ def pack_extra(extras: DataFrame) -> DataFrame:
 
 
 def _fill_kernel(final, tensor, extra, method, predictor_configuration,
-                 hyperparameters, params, seed, gap_slice=None):
+                 hyperparameters, params, seed, gap_slice=None,
+                 sv: Sentinels = DEFAULT_SENTINELS):
     """Dispatch: batched tensor-algebra path for Knn/Custom (20-60×
     faster, bit-identical — kernels/batch.py), generic per-pixel path
     otherwise."""
@@ -93,17 +95,18 @@ def _fill_kernel(final, tensor, extra, method, predictor_configuration,
             final, tensor, extra=extra,
             predictor_configuration=predictor_configuration,
             hyperparameters=hyperparameters, params=params, seed=seed,
-            gap_slice=gap_slice,
+            gap_slice=gap_slice, sv=sv,
         )
     return frame_kernel.fill_image(
         final, tensor, extra=extra, method=method,
         predictor_configuration=predictor_configuration,
         hyperparameters=hyperparameters, params=params, seed=seed,
-        gap_slice=gap_slice,
+        gap_slice=gap_slice, sv=sv,
     )
 
 
-def _fill_batches(method, predictor_configuration, hyperparameters, params):
+def _fill_batches(method, predictor_configuration, hyperparameters, params,
+                  sv: Sentinels = DEFAULT_SENTINELS):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in GAPFILL_SCHEMA.fieldNames()}
@@ -117,10 +120,11 @@ def _fill_batches(method, predictor_configuration, hyperparameters, params):
                 if predictor_configuration == "Biome":
                     e = row.extra_layer
                     extra = codecs.decode(e["bytes"], int(e["h"]), int(e["w"]), e["fmt"])
-                n_gaps = int((final == GAP).sum())
+                n_gaps = int((final == sv.gap).sum())
                 filled, scores = _fill_kernel(
                     final, tensor, extra, method, predictor_configuration,
                     hyperparameters, params, seed=_stable_seed(row.image_id),
+                    sv=sv,
                 )
                 out["image_id"].append(row.image_id)
                 out["bytes"].append(codecs.encode(filled, row.fmt))
@@ -142,7 +146,8 @@ def _fill_batches(method, predictor_configuration, hyperparameters, params):
 def gapfill(images: DataFrame, method: str = "Lasso",
             predictor_configuration: str = "Random",
             hyperparameters: str = "RandomGridSearch",
-            params: dict | None = None, min_valid: int = 101) -> DataFrame:
+            params: dict | None = None, min_valid: int = 101,
+            key_values: dict | None = None) -> DataFrame:
     """Fill all ``role='input'`` images of every site. ``images`` must
     carry (site, role, ts) id parts and the stats columns
     (operators.stats.with_stats).
@@ -151,7 +156,14 @@ def gapfill(images: DataFrame, method: str = "Lasso",
     with status='passthrough' and metric 0.0 (gapfiller.py:862-873);
     non-viable images (valid_px <= 101) are *excluded*, like the
     reference's ``continue`` (gapfiller.py:856-861).
+
+    ``key_values``: optional sentinel-encoding override, the
+    reference's ``fill_gaps(..., key_values=...)`` parameter
+    (gapfiller.py:826-828) — a dict with any of 'gap', 'skip',
+    'NoData'. The stats columns must have been computed with the SAME
+    encoding (stats.with_stats(key_values=...)).
     """
+    sv = resolve_key_values(key_values)
     inputs = images.filter(F.col("role") == "input")
     viable = inputs.filter((F.col("valid_px") > min_valid) & (F.col("gap_count") > 0))
     passthrough = inputs.filter(
@@ -168,7 +180,8 @@ def gapfill(images: DataFrame, method: str = "Lasso",
     if predictor_configuration == "Biome":
         keep.append("extra_layer")
     filled = joined.select(*keep).mapInPandas(
-        _fill_batches(method, predictor_configuration, hyperparameters, params),
+        _fill_batches(method, predictor_configuration, hyperparameters, params,
+                      sv),
         GAPFILL_SCHEMA,
     )
 
@@ -249,7 +262,8 @@ def _bc_image(bc, image_id):
 
 
 def _chunk_fill_batches(bc, method, predictor_configuration,
-                        hyperparameters, params, chunk_px):
+                        hyperparameters, params, chunk_px,
+                        sv: Sentinels = DEFAULT_SENTINELS):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in CHUNK_SCHEMA.fieldNames()}
@@ -258,11 +272,11 @@ def _chunk_fill_batches(bc, method, predictor_configuration,
                 tensor, extra = _bc_tensors(bc, row.site)
                 lo = int(row.chunk_id) * chunk_px
                 hi = lo + chunk_px
-                gaps = np.argwhere(final == GAP)[lo:hi]
+                gaps = np.argwhere(final == sv.gap)[lo:hi]
                 filled, scores = _fill_kernel(
                     final, tensor, extra, method, predictor_configuration,
                     hyperparameters, params, seed=_stable_seed(row.image_id),
-                    gap_slice=(lo, hi),
+                    gap_slice=(lo, hi), sv=sv,
                 )
                 changed = filled[gaps[:, 0], gaps[:, 1]]
                 out["image_id"].append(row.image_id)
@@ -308,7 +322,8 @@ def _assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
                      params: dict | None = None, min_valid: int = 101,
                      chunk_px: int = 512, method: str = "Knn",
-                     hyperparameters: str = "Custom") -> DataFrame:
+                     hyperparameters: str = "Custom",
+                     key_values: dict | None = None) -> DataFrame:
     """Skew-balanced gapfill: each viable image's gap
     scan is split into ``chunk_px``-pixel chunks that fill as
     independent tasks (the salting of the north_rule — a 96%-gap image
@@ -320,6 +335,7 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
     sequence/explode on gap_count) → mapInPandas fill → ONE extra
     shuffle of (row, col, value) deltas (tiny: 20 bytes/gap-pixel,
     not image payloads) → assemble join."""
+    sv = resolve_key_values(key_values)
     inputs = images.filter(F.col("role") == "input")
     viable = inputs.filter((F.col("valid_px") > min_valid) & (F.col("gap_count") > 0))
     passthrough = inputs.filter(
@@ -377,7 +393,7 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
     ).repartition(n_parts)  # round-robin: exact chunk-count balance
     partials = chunks.select("image_id", "site", "chunk_id").mapInPandas(
         _chunk_fill_batches(bc, method, predictor_configuration,
-                            hyperparameters, params, chunk_px),
+                            hyperparameters, params, chunk_px, sv),
         CHUNK_SCHEMA,
     )
     packed = partials.groupBy("image_id").agg(
@@ -402,7 +418,8 @@ def gapfill_balanced_checkpointed(images: DataFrame, table_path: str,
                                   params: dict | None = None,
                                   min_valid: int = 101,
                                   chunk_px: int = 512, method: str = "Knn",
-                                  hyperparameters: str = "Custom") -> list[str]:
+                                  hyperparameters: str = "Custom",
+                                  key_values: dict | None = None) -> list[str]:
     """THE 100 TB entry point for the balanced path: viable inputs are
     processed in bounded batches of ``batch_rows`` images — only one
     batch of input payloads is ever collected to the driver for the
@@ -431,7 +448,7 @@ def gapfill_balanced_checkpointed(images: DataFrame, table_path: str,
             side.unionByName(batch_inputs),
             predictor_configuration=predictor_configuration, params=params,
             min_valid=min_valid, chunk_px=chunk_px, method=method,
-            hyperparameters=hyperparameters)
+            hyperparameters=hyperparameters, key_values=key_values)
         return out
 
     sids = []
@@ -453,7 +470,8 @@ def gapfill_sequential(images: DataFrame, method: str = "Lasso",
                        predictor_configuration: str = "Random",
                        hyperparameters: str = "RandomGridSearch",
                        params: dict | None = None,
-                       min_valid: int = 101) -> DataFrame:
+                       min_valid: int = 101,
+                       key_values: dict | None = None) -> DataFrame:
     """``add_outputs=True`` parity mode (gapfiller.py:788-790): layer
     *i*'s filled output joins the training history of layer *i+1* — a
     hard sequential dependency, so this is a **driver loop of one
@@ -477,7 +495,7 @@ def gapfill_sequential(images: DataFrame, method: str = "Lasso",
         out = gapfill(step_images, method=method,
                       predictor_configuration=predictor_configuration,
                       hyperparameters=hyperparameters, params=params,
-                      min_valid=min_valid)
+                      min_valid=min_valid, key_values=key_values)
         rows = out.collect()  # materialize: next step depends on it
         results.extend(rows)
         if rows:
@@ -490,7 +508,8 @@ def gapfill_sequential(images: DataFrame, method: str = "Lasso",
             ).withColumn("role", F.lit("history"))
             from ssgp_toolbox_spark.operators.stats import with_stats
 
-            grown = grown.unionByName(with_stats(feedback), allowMissingColumns=True)
+            grown = grown.unionByName(with_stats(feedback, key_values),
+                                      allowMissingColumns=True)
     return spark.createDataFrame(results, GAPFILL_SCHEMA)
 
 
@@ -511,7 +530,8 @@ def gapfill_sequential_checkpointed(images: DataFrame, table_path: str,
                                     predictor_configuration: str = "Random",
                                     hyperparameters: str = "RandomGridSearch",
                                     params: dict | None = None,
-                                    min_valid: int = 101) -> DataFrame:
+                                    min_valid: int = 101,
+                                    key_values: dict | None = None) -> DataFrame:
     """``gapfill_sequential`` without driver-side accumulation: each
     timestamp's output is committed as a DETERMINISTIC snapshot
     (``seq-<ts>``) and the next step's feedback history is read back
@@ -550,13 +570,13 @@ def gapfill_sequential_checkpointed(images: DataFrame, table_path: str,
             out = gapfill(step, method=method,
                           predictor_configuration=predictor_configuration,
                           hyperparameters=hyperparameters, params=params,
-                          min_valid=min_valid)
+                          min_valid=min_valid, key_values=key_values)
             img_io.append_snapshot(out.select(*out_cols), table_path, sid)
             committed.add(sid)
         feedback = with_stats(img_io.with_id_parts(
             snapshot_df(sid).select(*out_cols)
             .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
-        ).withColumn("role", F.lit("history")))
+        ).withColumn("role", F.lit("history")), key_values)
         grown = grown.unionByName(feedback, allowMissingColumns=True)
 
     result = None

@@ -27,7 +27,8 @@ from pyspark.sql import types as T
 
 from ssgp_toolbox_spark import codecs
 from ssgp_toolbox_spark.kernels import nn
-from ssgp_toolbox_spark.sentinels import GAP
+from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          resolve_key_values)
 
 NN_FILL_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -42,12 +43,13 @@ NN_FILL_SCHEMA = T.StructType([
 ])
 
 
-def _nn_fill_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _nn_fill_batches(sv: Sentinels = DEFAULT_SENTINELS):
+  def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in NN_FILL_SCHEMA.fieldNames()}
         for row in pdf.itertuples(index=False):
             m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
-            filled, status = nn.nn_interpolate(m)
+            filled, status = nn.nn_interpolate(m, sv)
             changed = status == "filled"
             payload = codecs.encode(filled, row.fmt) if changed else row.bytes
             out["image_id"].append(row.image_id)
@@ -58,18 +60,25 @@ def _nn_fill_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["caption"].append(row.caption)
             out["phash"].append(codecs.phash64(filled) if changed else row.phash)
             out["status"].append(status)
-            out["filled_px"].append(int((m == GAP).sum()) if changed else 0)
+            out["filled_px"].append(int((m == sv.gap).sum()) if changed else 0)
         yield pd.DataFrame(out)
 
+  return fn
 
-def nn_fill(images: DataFrame) -> DataFrame:
+
+def nn_fill(images: DataFrame, key_values: dict | None = None) -> DataFrame:
     """Fill gaps by nearest-neighbor interpolation, per image.
 
     No groupBy, no shuffle: `.explain()` shows a single
     MapInPandas over the scan.
+
+    ``key_values``: optional sentinel-encoding override (the
+    reference's ``nn_interpolation(..., key_values=...)``,
+    gapfiller.py:901-913 dict shape {'gap','skip','NoData'}).
     """
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
-    return images.select(*cols).mapInPandas(_nn_fill_batches, NN_FILL_SCHEMA)
+    return images.select(*cols).mapInPandas(
+        _nn_fill_batches(resolve_key_values(key_values)), NN_FILL_SCHEMA)
 
 
 # ---------------------------------------------------------------- balanced
@@ -83,10 +92,8 @@ _NN_CHUNK_SCHEMA = T.StructType([
 ])
 
 
-def _nn_chunk_batches(chunk_px: int):
+def _nn_chunk_batches(chunk_px: int, sv: Sentinels = DEFAULT_SENTINELS):
     import numpy as np
-
-    from ssgp_toolbox_spark.sentinels import NODATA, SKIP
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -94,13 +101,13 @@ def _nn_chunk_batches(chunk_px: int):
             for row in pdf.itertuples(index=False):
                 m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 work = m.copy()
-                work[(work == SKIP) | (work == NODATA)] = GAP
+                work[(work == sv.skip) | (work == sv.nodata)] = sv.gap
                 # only true gaps change in the final image (skip/NoData
                 # are restored by nn_interpolate, gapfiller.py:960-962)
-                targets = np.argwhere(m == GAP)
+                targets = np.argwhere(m == sv.gap)
                 lo = int(row.chunk_id) * chunk_px
                 sel = targets[lo : lo + chunk_px]
-                filled = nn.nn_lookup_grid(work, work != GAP, sel)
+                filled = nn.nn_lookup_grid(work, work != sv.gap, sel)
                 out["image_id"].append(row.image_id)
                 out["chunk_id"].append(int(row.chunk_id))
                 out["rows"].append(sel[:, 0].astype("<i4").tobytes())
@@ -137,7 +144,8 @@ def _nn_assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame(out)
 
 
-def nn_fill_balanced(images: DataFrame, chunk_px: int = 4096) -> DataFrame:
+def nn_fill_balanced(images: DataFrame, chunk_px: int = 4096,
+                     key_values: dict | None = None) -> DataFrame:
     """Skew-balanced NN fill: each image's gap set splits into
     chunk-sized tasks with full-image lookup context — bit-identical
     to ``nn_fill`` (1-NN is deterministic), but a big or heavily
@@ -146,6 +154,7 @@ def nn_fill_balanced(images: DataFrame, chunk_px: int = 4096) -> DataFrame:
     reference branches (gapfiller.py:920-936)."""
     from pyspark.sql import functions as F
 
+    sv = resolve_key_values(key_values)
     base_cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
     viable = images.filter((F.col("valid_px") > nn.MIN_VALID) & (F.col("gap_count") > 0))
     passthrough = images.filter(
@@ -162,7 +171,7 @@ def nn_fill_balanced(images: DataFrame, chunk_px: int = 4096) -> DataFrame:
         "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
     ).repartition(n_parts)  # round-robin: exact chunk-count balance
     partials = chunks.select("image_id", "chunk_id", "bytes", "w", "h", "fmt") \
-        .mapInPandas(_nn_chunk_batches(chunk_px), _NN_CHUNK_SCHEMA)
+        .mapInPandas(_nn_chunk_batches(chunk_px, sv), _NN_CHUNK_SCHEMA)
     packed = partials.groupBy("image_id").agg(
         F.collect_list(F.struct("chunk_id", "rows", "cols", "vals")).alias("chunks")
     )

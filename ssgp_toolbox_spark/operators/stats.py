@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ssgp_toolbox_spark import codecs
-from ssgp_toolbox_spark.sentinels import sentinel_stats
+from ssgp_toolbox_spark.sentinels import resolve_key_values, sentinel_stats
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("gap_count", T.IntegerType()),
@@ -27,17 +27,27 @@ _STATS_SCHEMA = T.StructType([
 ])
 
 
-@F.pandas_udf(_STATS_SCHEMA)
-def _stats_udf(payload: pd.Series, h: pd.Series, w: pd.Series, fmt: pd.Series) -> pd.DataFrame:
-    rows = []
-    for b, hh, ww, f in zip(payload, h, w, fmt):
-        rows.append(sentinel_stats(codecs.decode(b, int(hh), int(ww), f)))
-    return pd.DataFrame(rows)
+def _stats_udf(sv):
+    @F.pandas_udf(_STATS_SCHEMA)
+    def fn(payload: pd.Series, h: pd.Series, w: pd.Series,
+           fmt: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, hh, ww, f in zip(payload, h, w, fmt):
+            rows.append(sentinel_stats(codecs.decode(b, int(hh), int(ww), f),
+                                       sv.gap, sv.skip, sv.nodata))
+        return pd.DataFrame(rows)
+
+    return fn
 
 
-def with_stats(df: DataFrame) -> DataFrame:
-    """Adds gap_count / skip_count / nodata_count / valid_px columns."""
-    s = _stats_udf("bytes", "h", "w", "fmt")
+def with_stats(df: DataFrame, key_values: dict | None = None) -> DataFrame:
+    """Adds gap_count / skip_count / nodata_count / valid_px columns.
+
+    ``key_values``: optional sentinel override (reference
+    gapfiller.py:805/826-828 dict shape) — counts are then computed
+    against that encoding, keeping every downstream viability
+    predicate consistent."""
+    s = _stats_udf(resolve_key_values(key_values))("bytes", "h", "w", "fmt")
     return df.withColumn("_s", s).select("*", "_s.*").drop("_s")
 
 

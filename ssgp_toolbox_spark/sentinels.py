@@ -75,3 +75,62 @@ def nanify(
     out = a.astype(np.float64, copy=True)
     out[is_invalid(out, gap, skip, nodata)] = np.nan
     return out
+
+
+class Sentinels:
+    """One site's in-band sentinel encoding — the engine counterpart
+    of the reference's ``key_values`` dict (gapfiller.py:826-828
+    ``{'gap': , 'skip': , 'NoData': }``, also Discretizator
+    timeseries.py:31-38): every entry point accepts a ``key_values``
+    override so rasters encoded with different sentinel values (the
+    README's "any matrices" promise) run unchanged. Immutable; the
+    module constants above stay the defaults."""
+
+    __slots__ = ("gap", "skip", "nodata")
+
+    def __init__(self, gap: float = GAP, skip: float = SKIP,
+                 nodata: float = NODATA):
+        if len({float(gap), float(skip), float(nodata)}) < 3:
+            raise ValueError("sentinel values must be pairwise distinct")
+        object.__setattr__(self, "gap", float(gap))
+        object.__setattr__(self, "skip", float(skip))
+        object.__setattr__(self, "nodata", float(nodata))
+
+    def __setattr__(self, *_):
+        raise AttributeError("Sentinels is immutable")
+
+    def __reduce__(self):
+        # reconstruct through __init__ — the default slot-setattr
+        # unpickling path would trip the immutability guard (these
+        # objects ride mapInPandas closures to the workers)
+        return (Sentinels, (self.gap, self.skip, self.nodata))
+
+    def __repr__(self):
+        return (f"Sentinels(gap={self.gap}, skip={self.skip}, "
+                f"nodata={self.nodata})")
+
+    def __eq__(self, other):
+        return (isinstance(other, Sentinels) and self.gap == other.gap
+                and self.skip == other.skip and self.nodata == other.nodata)
+
+
+DEFAULT_SENTINELS = Sentinels()
+
+
+def resolve_key_values(key_values: dict | None) -> Sentinels:
+    """Reference-shaped ``key_values`` dict → ``Sentinels``. Accepts
+    the reference's exact keys ('gap', 'skip', 'NoData',
+    gapfiller.py:805) — missing keys keep their defaults; unknown
+    keys raise instead of being silently ignored."""
+    if key_values is None:
+        return DEFAULT_SENTINELS
+    if isinstance(key_values, Sentinels):
+        return key_values
+    unknown = set(key_values) - {"gap", "skip", "NoData"}
+    if unknown:
+        raise ValueError(
+            f"unknown key_values keys {sorted(unknown)!r}; "
+            "expected 'gap', 'skip', 'NoData' (reference gapfiller.py:805)")
+    return Sentinels(gap=key_values.get("gap", GAP),
+                     skip=key_values.get("skip", SKIP),
+                     nodata=key_values.get("NoData", NODATA))

@@ -754,3 +754,28 @@ def mod09_ingest_oracle(bands, qc, geotransform, extent, x_res, y_res,
     for (row, col), (_, v) in best.items():
         grid[row, col] = v
     return grid
+
+
+def nn_fill_kv_oracle(m, gap, skip, nodata):
+    """``nn_fill_fast_oracle`` under a custom ``key_values`` encoding
+    (reference nn_interpolation key_values parameter,
+    gapfiller.py:901-913, dict shape gapfiller.py:805): identical
+    per-pixel transcription with the three sentinel codes
+    parameterized."""
+    m = np.asarray(m, float)
+    invalid = (m == gap) | (m == skip) | (m == nodata)
+    if (~invalid).sum() <= 10:
+        return m.copy(), "not_enough_valid"
+    if (m == gap).sum() == 0:
+        return m.copy(), "passthrough"
+    work = m.copy()
+    work[(work == skip) | (work == nodata)] = gap
+    valid = np.argwhere(work != gap)
+    out = work.copy()
+    for (i, j) in np.argwhere(work == gap):
+        d2 = (valid[:, 0] - i) ** 2 + (valid[:, 1] - j) ** 2
+        v = valid[np.argmin(d2)]
+        out[i, j] = work[v[0], v[1]]
+    out[m == skip] = skip
+    out[m == nodata] = nodata
+    return out, "filled"

@@ -58,3 +58,31 @@ def test_comparison_mae_all_ladders(spark, site, pcts):
         # committed fills drift up to ~0.025 from the 2dp published
         # table on Madrid/Vladivostok — sanity only, not the gate
         assert abs(r["ref_mae_committed"] - r["ref_mae_published"]) < 0.03
+
+
+def test_comparison_full_sweep_json_envelope():
+    """The full 24-ladder audit as ONE command + this gate: run
+    `python scripts/comparison_bench.py` (optionally `--all`), which
+    writes BENCH/comparison_mae.json; this test envelopes EVERY ladder
+    in that artifact. Skips when the artifact is absent (the sampled
+    live gates above still run) — so a stale green can't hide: the
+    json carries its own per-ladder numbers and this re-checks all of
+    them on every pytest run."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH",
+                        "comparison_mae.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH/comparison_mae.json not generated")
+    with open(path) as f:
+        data = json.load(f)
+    assert set(data) == {"StPetersburg", "Madrid", "Vladivostok"}
+    n = 0
+    for site, ladders in data.items():
+        for pct, r in ladders.items():
+            if pct.startswith("_"):
+                continue
+            assert r["mae"] <= r["ref_mae_committed"] + ENVELOPE, \
+                (site, pct, r)
+            n += 1
+    assert n == 24, f"expected 24 ladders in the sweep artifact, got {n}"
