@@ -30,13 +30,21 @@ def gapfill_stream(input_stream: DataFrame, history: DataFrame,
                    predictor_configuration: str = "Biome",
                    hyperparameters: str = "Custom",
                    params: dict | None = None,
-                   min_valid: int = 101) -> DataFrame:
+                   min_valid: int = 101,
+                   key_values: dict | None = None) -> DataFrame:
     """``input_stream``: streaming DataFrame of input_hint rows with a
     ``site`` column (e.g. swath ingest output routed through
     with_id_parts). ``history``: STATIC DataFrame of history/extra
     rows (role column as in the batch operator). Returns a streaming
-    DataFrame in GAPFILL_SCHEMA (+passthrough leg)."""
-    st = stats.with_stats(input_stream)
+    DataFrame in GAPFILL_SCHEMA (+passthrough leg).
+
+    ``key_values``: sentinel-encoding override (see
+    operators.gapfill.gapfill) — applied to both the on-stream stats
+    and the fill kernel."""
+    from ssgp_toolbox_spark.sentinels import resolve_key_values
+
+    sv = resolve_key_values(key_values)
+    st = stats.with_stats(input_stream, key_values)
     viable = st.filter((F.col("valid_px") > min_valid) & (F.col("gap_count") > 0))
     passthrough = st.filter(
         (F.col("valid_px") > min_valid) & (F.col("gap_count") == 0))
@@ -53,7 +61,7 @@ def gapfill_stream(input_stream: DataFrame, history: DataFrame,
         keep.append("extra_layer")
     filled = joined.select(*keep).mapInPandas(
         G._fill_batches(method, predictor_configuration, hyperparameters,
-                        params),
+                        params, sv),
         G.GAPFILL_SCHEMA,
     )
     pass_df = passthrough.select(
