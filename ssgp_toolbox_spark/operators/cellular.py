@@ -23,7 +23,8 @@ from pyspark.sql import types as T
 from ssgp_toolbox_spark import codecs
 from ssgp_toolbox_spark.kernels import cellular as ca
 from ssgp_toolbox_spark.operators.gapfill import _stable_seed, pack_extra
-from ssgp_toolbox_spark.sentinels import GAP
+from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          resolve_key_values)
 
 CA_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -37,7 +38,7 @@ CA_SCHEMA = T.StructType([
 ])
 
 
-def _ca_batches(iters: int):
+def _ca_batches(iters: int, sv: Sentinels = DEFAULT_SENTINELS):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in CA_SCHEMA.fieldNames()}
@@ -45,9 +46,10 @@ def _ca_batches(iters: int):
                 m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 e = row.extra_layer
                 biome = codecs.decode(e["bytes"], int(e["h"]), int(e["w"]), e["fmt"])
-                before = int((m == GAP).sum())
+                before = int((m == sv.gap).sum())
                 expanded = ca.cellular_expand(
-                    m, biome, iters=iters, seed=_stable_seed(row.image_id)
+                    m, biome, iters=iters, seed=_stable_seed(row.image_id),
+                    gap=sv.gap,
                 )
                 out["image_id"].append(row.image_id)
                 out["bytes"].append(codecs.encode(expanded, row.fmt))
@@ -56,17 +58,21 @@ def _ca_batches(iters: int):
                 out["fmt"].append(row.fmt)
                 out["caption"].append(row.caption)
                 out["phash"].append(codecs.phash64(expanded))
-                out["expanded_px"].append(int((expanded == GAP).sum()) - before)
+                out["expanded_px"].append(
+                    int((expanded == sv.gap).sum()) - before)
             yield pd.DataFrame(out)
 
     return fn
 
 
-def cloud_expand(images: DataFrame, iters: int = 10) -> DataFrame:
+def cloud_expand(images: DataFrame, iters: int = 10,
+                 key_values: dict | None = None) -> DataFrame:
     """Expand cloud (gap) boundaries of every ``role='input'`` image
-    using the site's biome layer."""
+    using the site's biome layer. ``key_values``: sentinel override
+    (only the gap code matters to the automaton)."""
+    sv = resolve_key_values(key_values)
     inputs = images.filter(F.col("role") == "input")
     extra = pack_extra(images.filter(F.col("role") == "extra"))
     joined = inputs.join(extra, "site")
     keep = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "extra_layer"]
-    return joined.select(*keep).mapInPandas(_ca_batches(iters), CA_SCHEMA)
+    return joined.select(*keep).mapInPandas(_ca_batches(iters, sv), CA_SCHEMA)

@@ -53,7 +53,8 @@ from ssgp_toolbox_spark import codecs
 from ssgp_toolbox_spark.kernels import batch
 from ssgp_toolbox_spark.kernels import frame as frame_kernel
 from ssgp_toolbox_spark.operators import gapfill as G
-from ssgp_toolbox_spark.sentinels import GAP, SKIP
+from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          resolve_key_values)
 
 COORDS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -75,7 +76,8 @@ EXTRACT_SCHEMA = T.StructType([
 ])
 
 
-def _coords_batches(predictor_configuration: str, chunk_px: int):
+def _coords_batches(predictor_configuration: str, chunk_px: int,
+                    sv: Sentinels = DEFAULT_SENTINELS):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in COORDS_SCHEMA.fieldNames()}
@@ -86,12 +88,12 @@ def _coords_batches(predictor_configuration: str, chunk_px: int):
                 if predictor_configuration == "Biome":
                     e = row.extra_layer
                     extra = codecs.decode(e["bytes"], int(e["h"]), int(e["w"]), e["fmt"])
-                gaps = np.argwhere(final == GAP)
+                gaps = np.argwhere(final == sv.gap)
                 if not len(gaps):
                     continue
                 coords = batch.select_coords(
                     final, extra, gaps, predictor_configuration,
-                    seed=G._stable_seed(row.image_id))
+                    seed=G._stable_seed(row.image_id), sv=sv)
                 flat = (coords[..., 0] * w + coords[..., 1]).astype(np.int64)
                 fr = final.ravel()
                 for ci in range(-(-len(gaps) // chunk_px)):
@@ -130,7 +132,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def _deep_fill_batches(method: str, hyperparameters: str, params: dict | None):
+def _deep_fill_batches(method: str, hyperparameters: str, params: dict | None,
+                       sv: Sentinels = DEFAULT_SENTINELS):
     params = dict(params or {})
     k = int(params.get("n_neighbors", 5))
     weights = params.get("weights", "uniform")
@@ -151,13 +154,13 @@ def _deep_fill_batches(method: str, hyperparameters: str, params: dict | None):
                 seed = G._stable_seed(row.image_id)
                 if method == "Knn" and hyperparameters == "Custom":
                     preds, scores, skip = batch.fill_gathered_knn(
-                        hist, last, k, weights, seed)
+                        hist, last, k, weights, seed, sv)
                 else:
                     preds, scores, skip = frame_kernel.fill_gathered(
                         hist, last, gaps, method=method,
                         hyperparameters=hyperparameters, params=params,
-                        seed=seed)
-                vals = np.where(skip, SKIP, preds)
+                        seed=seed, sv=sv)
+                vals = np.where(skip, sv.skip, preds)
                 out["image_id"].append(row.image_id)
                 out["chunk_id"].append(int(row.chunk_id))
                 out["rows"].append(gaps[:, 0].astype("<i4").tobytes())
@@ -174,9 +177,12 @@ def gapfill_deep(images: DataFrame, method: str = "Knn",
                  predictor_configuration: str = "Biome",
                  hyperparameters: str = "Custom",
                  params: dict | None = None, min_valid: int = 101,
-                 chunk_px: int = 256) -> DataFrame:
+                 chunk_px: int = 256,
+                 key_values: dict | None = None) -> DataFrame:
     """Depth-bounded gapfill (see module docstring). Same contract and
-    bit-identical output as ``gapfill(images, ...)``."""
+    bit-identical output as ``gapfill(images, ...)`` — including the
+    ``key_values`` sentinel override."""
+    sv = resolve_key_values(key_values)
     spark = images.sparkSession
     inputs = images.filter(F.col("role") == "input")
     viable = inputs.filter(
@@ -190,7 +196,7 @@ def gapfill_deep(images: DataFrame, method: str = "Knn",
         extra = G.pack_extra(images.filter(F.col("role") == "extra"))
         sel = sel.join(F.broadcast(extra), "site")  # one small row per site
     coords = sel.mapInPandas(
-        _coords_batches(predictor_configuration, chunk_px), COORDS_SCHEMA,
+        _coords_batches(predictor_configuration, chunk_px, sv), COORDS_SCHEMA,
     ).persist()  # consumed twice: key lists for extraction + fill join
 
     # key lists per site, broadcast to every history-layer task; size =
@@ -210,7 +216,8 @@ def gapfill_deep(images: DataFrame, method: str = "Knn",
     fill_in = coords.drop("site").join(
         packed_layers, ["image_id", "chunk_id"]).repartition(n_parts)
     partials = fill_in.mapInPandas(
-        _deep_fill_batches(method, hyperparameters, params), G.CHUNK_SCHEMA)
+        _deep_fill_batches(method, hyperparameters, params, sv),
+        G.CHUNK_SCHEMA)
 
     packed = partials.groupBy("image_id").agg(
         F.collect_list(

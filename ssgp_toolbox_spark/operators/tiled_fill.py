@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 
 from ssgp_toolbox_spark import codecs, tiling
 from ssgp_toolbox_spark.kernels import nn
-from ssgp_toolbox_spark.sentinels import GAP, NODATA, SKIP
+from ssgp_toolbox_spark.sentinels import DEFAULT_SENTINELS, Sentinels
 
 _TILE_SCHEMA = T.StructType(
     [T.StructField("image_id", T.StringType()),
@@ -70,7 +70,8 @@ _FILLED_TILE_SCHEMA = T.StructType(
 )
 
 
-def _fill_window(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _fill_window_fn(sv: Sentinels = DEFAULT_SENTINELS):
+  def _fill_window(key, pdf: pd.DataFrame) -> pd.DataFrame:
     image_id, otx, oty = key
     own = pdf[(pdf.tx == otx) & (pdf.ty == oty)]
     if len(own) == 0:  # owner key outside the grid (edge offsets)
@@ -78,16 +79,16 @@ def _fill_window(key, pdf: pd.DataFrame) -> pd.DataFrame:
     own = own.iloc[0]
     core = np.frombuffer(own.tile_bytes, dtype="<f8").reshape(own.ph, own.pw).copy()
     n_unresolved = 0
-    if (core == GAP).any():
+    if (core == sv.gap).any():
         # build the window's valid-point cloud in image coordinates
         pts, vals = [], []
         for r in pdf.itertuples(index=False):
             blk = np.frombuffer(r.tile_bytes, dtype="<f8").reshape(r.ph, r.pw)
-            v = np.argwhere((blk != GAP) & (blk != SKIP) & (blk != NODATA))
+            v = np.argwhere((blk != sv.gap) & (blk != sv.skip) & (blk != sv.nodata))
             if len(v):
                 pts.append(v + np.array([r.prow0, r.pcol0]))
                 vals.append(blk[v[:, 0], v[:, 1]])
-        targets = np.argwhere(core == GAP) + np.array([own.prow0, own.pcol0])
+        targets = np.argwhere(core == sv.gap) + np.array([own.prow0, own.pcol0])
         if pts:
             pts = np.concatenate(pts)
             vals = np.concatenate(vals)
@@ -129,6 +130,8 @@ def _fill_window(key, pdf: pd.DataFrame) -> pd.DataFrame:
     row["unresolved_px"] = n_unresolved
     return pd.DataFrame([row])[_FILLED_TILE_SCHEMA.fieldNames()]
 
+  return _fill_window
+
 
 def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
     image_id = key[0]
@@ -161,15 +164,19 @@ _OUT_SCHEMA = T.StructType([
 ])
 
 
-def tiled_nn_fill(images: DataFrame, tile: int = 64) -> DataFrame:
+def tiled_nn_fill(images: DataFrame, tile: int = 64,
+                  key_values: dict | None = None) -> DataFrame:
     """Ring-1 halo-join NN fill. Note: unlike nn_interpolate this
     fills only ``gap`` pixels (skip/NoData preserved by construction —
     they are never fill targets here, matching the restore step of
     gapfiller.py:960-962)."""
+    from ssgp_toolbox_spark.sentinels import resolve_key_values
+
+    sv = resolve_key_values(key_values)
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
     tiles = images.select(*cols).mapInPandas(_explode_batches(tile), _TILE_SCHEMA)
     owners = tiling.tile_neighbors_df(tiles)
     filled_tiles = owners.groupBy("image_id", "owner_tx", "owner_ty").applyInPandas(
-        _fill_window, _FILLED_TILE_SCHEMA
+        _fill_window_fn(sv), _FILLED_TILE_SCHEMA
     )
     return filled_tiles.groupBy("image_id").applyInPandas(_assemble, _OUT_SCHEMA)

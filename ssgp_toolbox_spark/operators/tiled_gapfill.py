@@ -36,7 +36,8 @@ from pyspark.sql import types as T
 from ssgp_toolbox_spark import codecs, tiling
 from ssgp_toolbox_spark.kernels import batch as batch_kernel
 from ssgp_toolbox_spark.operators.gapfill import GAPFILL_SCHEMA, _stable_seed
-from ssgp_toolbox_spark.sentinels import GAP
+from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          resolve_key_values)
 
 _TILE_LAYER_SCHEMA = T.StructType(
     [T.StructField("image_id", T.StringType()),
@@ -89,7 +90,7 @@ _FILL_TILE_SCHEMA = T.StructType([
 ])
 
 
-def _fill_tile_group(params):
+def _fill_tile_group(params, sv: Sentinels = DEFAULT_SENTINELS):
     k = int((params or {}).get("n_neighbors", 5))
     weights = (params or {}).get("weights", "uniform")
 
@@ -110,7 +111,7 @@ def _fill_tile_group(params):
             ci = inp.col0 - inp.pcol0
             core_mask = np.zeros_like(win, dtype=bool)
             core_mask[ri : ri + inp.core_h, ci : ci + inp.core_w] = True
-            gaps_all = np.argwhere(win == GAP)
+            gaps_all = np.argwhere(win == sv.gap)
             in_core = core_mask[gaps_all[:, 0], gaps_all[:, 1]]
             # fill the whole window's gap list but only where in core:
             # fill_image_knn's gap_slice is positional, so we call with
@@ -134,6 +135,7 @@ def _fill_tile_group(params):
                     seed=_stable_seed(inp.image_id),
                     gap_subset=sub,
                     coord_offset=(int(inp.prow0), int(inp.pcol0)),
+                    sv=sv,
                 )
                 filled[sub[:, 0], sub[:, 1]] = f[sub[:, 0], sub[:, 1]]
                 scores = sc
@@ -144,7 +146,7 @@ def _fill_tile_group(params):
                 # (then the window-local valid set == image-wide one).
                 full_window = (inp.prow0 == 0 and inp.pcol0 == 0
                                and inp.ph == inp.h and inp.pw == inp.w)
-                masked = np.where(work == GAP, GAP, extra)
+                masked = np.where(work == sv.gap, sv.gap, extra)
                 for (r, c) in sub:
                     code = extra[r, c]
                     cands = np.argwhere(masked == code)
@@ -196,15 +198,17 @@ def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def tiled_gapfill(images: DataFrame, tile: int = 64, halo: int = 32,
-                  params: dict | None = None) -> DataFrame:
+                  params: dict | None = None,
+                  key_values: dict | None = None) -> DataFrame:
     """Biome-mode kNN gapfill over cell co-partitioned tile windows.
     ``images`` must carry id parts; history/extra roles are exploded
     alongside inputs. Returns GAPFILL_SCHEMA (+ approx audit via
     ``tiled_gapfill_tiles`` if needed)."""
+    sv = resolve_key_values(key_values)
     cols = ["image_id", "site", "role", "ts", "bytes", "w", "h", "fmt",
             "caption", "phash"]
     tiles = images.select(*cols).mapInPandas(_explode(tile, halo), _TILE_LAYER_SCHEMA)
     filled_tiles = tiles.groupBy("site", "tx", "ty").applyInPandas(
-        _fill_tile_group(params), _FILL_TILE_SCHEMA
+        _fill_tile_group(params, sv), _FILL_TILE_SCHEMA
     )
     return filled_tiles.groupBy("image_id").applyInPandas(_assemble, GAPFILL_SCHEMA)

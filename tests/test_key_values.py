@@ -140,3 +140,43 @@ def test_discretize_key_values_blank_and_fill(spark):
     assert set(got) == set(base)
     for key in base:
         np.testing.assert_array_equal(_unmap(got[key]), base[key])
+
+
+def test_deep_and_cellular_key_values_equivalence(spark):
+    """The 100 TB paths honor the override too: deep (coord-extract)
+    gapfill and the cloud-expand automaton produce the default result
+    remapped."""
+    from ssgp_toolbox_spark.operators import cellular, deep_gapfill
+
+    kw = dict(method="Knn", predictor_configuration="Biome",
+              hyperparameters="Custom", params={"n_neighbors": 5},
+              chunk_px=97)
+    imgs = stats.with_stats(img_io.with_id_parts(generator.images_df(
+        spark, sites=("mini",), shape=(30, 20), n_history=4, n_inputs=1)))
+    base = {r["image_id"]: codecs.decode(bytes(r["bytes"]), r["h"], r["w"],
+                                         r["fmt"])
+            for r in deep_gapfill.gapfill_deep(imgs, **kw).collect()}
+    rem = stats.with_stats(_remapped_images(spark, n_history=4, n_inputs=1), KV)
+    got = {r["image_id"]: codecs.decode(bytes(r["bytes"]), r["h"], r["w"],
+                                        r["fmt"])
+           for r in deep_gapfill.gapfill_deep(rem, key_values=KV,
+                                              **kw).collect()}
+    assert set(got) == set(base) and len(base) >= 1
+    for iid in base:
+        np.testing.assert_array_equal(_unmap(got[iid]), base[iid])
+
+    ca_base = {r["image_id"]: (codecs.decode(bytes(r["bytes"]), r["h"],
+                                             r["w"], r["fmt"]),
+                               r["expanded_px"])
+               for r in cellular.cloud_expand(imgs, iters=2).collect()}
+    ca_got = {r["image_id"]: (codecs.decode(bytes(r["bytes"]), r["h"],
+                                            r["w"], r["fmt"]),
+                              r["expanded_px"])
+              for r in cellular.cloud_expand(rem, iters=2,
+                                             key_values=KV).collect()}
+    assert set(ca_got) == set(ca_base)
+    for iid in ca_base:
+        bm, bn = ca_base[iid]
+        gm, gn = ca_got[iid]
+        assert gn == bn
+        np.testing.assert_array_equal(_unmap(gm), bm)
