@@ -200,16 +200,58 @@ def _argmin_cell(emb_col, centroids):
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
+def _assign_pandas_udf(centroids):
+    """Arrow-vectorized argmin-cell kernel for LARGE centroid tables:
+    one (batch × cells) distance matmul per Arrow batch against the
+    closure-captured centroid matrix. Rounds to 6dp with HALF_UP on
+    the non-negative distances (np.floor(d*1e6+0.5)/1e6) to match
+    Spark's ``F.round`` semantics, and breaks ties toward the lowest
+    cid (np.argmin first index) — the same (dist, cid) order as the
+    literal path; parity asserted in tests/test_ann_recall.py."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)  # (k, d)
+    c2 = (C * C).sum(axis=1)
+
+    def kernel(emb):
+        X = np.stack(emb.to_numpy())                       # (n, d)
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+        d2 = np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5) / 1e6
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return F.pandas_udf(kernel, "int")
+
+
 def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
-               out_col: str = "cid") -> DataFrame:
+               out_col: str = "cid",
+               max_literal_cells: int = 256) -> DataFrame:
     """Corpus → cell assignment as a ZERO-SHUFFLE narrow projection:
     ``centroids`` is the driver-known list of (already 6dp-rounded)
-    centroid vectors, embedded as literals. No Exchange, no Window,
-    no fan-out — at 10^12 rows this is a map over the scan, vs the
-    former crossJoin(broadcast) × n_cells row multiplication plus a
+    centroid vectors. No Exchange, no Window, no fan-out — at 10^12
+    rows this is a map over the scan, vs the former
+    crossJoin(broadcast) × n_cells row multiplication plus a
     per-vector row_number shuffle (round-3 VERDICT "What's wrong" #3).
-    Plan shape is pinned by tests/test_plans_and_skew.py."""
-    return vectors.withColumn(out_col, _argmin_cell(F.col(vec_col), centroids))
+    Plan shape is pinned by tests/test_plans_and_skew.py.
+
+    Two physical strategies, same logical map:
+    - ``n_cells <= max_literal_cells``: centroids embed as 6dp plan
+      LITERALS (codegen expressions, exactly how lsh_table_keys
+      embeds planes) — the engine-portable path the s04 SQL oracle
+      mirrors bit-for-bit.
+    - larger: a vectorized Arrow kernel — one (batch × cells) matmul
+      per batch against the captured centroid matrix, HALF_UP-rounded
+      to match F.round, first-index tie-break. Real IVF at 10^12 rows
+      wants ~sqrt(N) ≈ 10^5-10^6 cells, where a million-literal
+      Catalyst expression is impossible but a (10^6 × d) float matrix
+      is an ordinary broadcast-sized side input. (Beyond ~10^5 cells
+      ship the matrix as a SparkContext.broadcast instead of a
+      closure capture; same kernel.)"""
+    if len(centroids) <= max_literal_cells:
+        return vectors.withColumn(out_col,
+                                  _argmin_cell(F.col(vec_col), centroids))
+    return vectors.withColumn(out_col,
+                              _assign_pandas_udf(centroids)(F.col(vec_col)))
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,

@@ -90,3 +90,27 @@ def test_lsh_recall_clustered(spark, clustered):
     exact = simsearch.cosine_topk(df, q, k=5)
     ann = simsearch.lsh_topk(df, q, k=5, bits_per_table=6, n_tables=8)
     assert _recall_at_k(exact, ann) >= 0.9
+
+
+def test_ivf_assign_pandas_matches_literal(spark):
+    """The large-n_cells Arrow assignment kernel must agree with the
+    literal-centroid path cell-for-cell (same HALF_UP 6dp rounding,
+    same lowest-cid tie-break) — it is the same logical map under a
+    different physical strategy."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    e = simsearch._normalize(simsearch._cast(emb).select(
+        F.col("vec_id").alias("nid"), F.col("emb")))
+    rng = np.random.default_rng(31)
+    cents = [[float(v) for v in row]
+             for row in (rng.standard_normal((48, 64)) / 8).round(6)]
+    lit = {r["nid"]: r["cid"] for r in
+           simsearch.ivf_assign(e, cents, max_literal_cells=256).collect()}
+    arrow = {r["nid"]: r["cid"] for r in
+             simsearch.ivf_assign(e, cents, max_literal_cells=1).collect()}
+    assert lit == arrow and len(lit) > 0
+    # and the Arrow path stays a narrow plan too (ArrowEvalPython,
+    # no Exchange/Window/Join)
+    plan = simsearch.ivf_assign(e, cents, max_literal_cells=1) \
+        ._jdf.queryExecution().toString()
+    for banned in ("Exchange", "Window", "Join", "CartesianProduct"):
+        assert banned not in plan, banned
