@@ -223,6 +223,27 @@ def _assign_pandas_udf(centroids):
     return F.pandas_udf(kernel, "int")
 
 
+def _probe_pandas_udf(centroids, n_probe: int):
+    """Arrow-vectorized n_probe-nearest-cells kernel (the query-side
+    counterpart of ``_assign_pandas_udf`` for large centroid tables):
+    same rounded distances, ranked by (dist, cid) via a stable
+    argsort — identical order to the literal array_sort path."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def kernel(emb):
+        X = np.stack(emb.to_numpy())
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+        d2 = np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5) / 1e6
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return F.pandas_udf(kernel, "array<int>")
+
+
 def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
                out_col: str = "cid",
                max_literal_cells: int = 256) -> DataFrame:
@@ -252,6 +273,27 @@ def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
                                   _argmin_cell(F.col(vec_col), centroids))
     return vectors.withColumn(out_col,
                               _assign_pandas_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_probe_cells(queries: DataFrame, centroids: list, n_probe: int,
+                    vec_col: str = "qe", out_col: str = "cid",
+                    max_literal_cells: int = 256) -> DataFrame:
+    """Each query row → its ``n_probe`` nearest cells, exploded.
+    Narrow projection + explode, no window/shuffle; literal
+    (dist, cid)-struct array_sort up to ``max_literal_cells``, the
+    Arrow argsort kernel beyond (see ``ivf_assign`` for the
+    strategy-switch rationale). The two paths rank identically
+    (parity-pinned in tests)."""
+    if len(centroids) <= max_literal_cells:
+        probe_structs = F.array(*[
+            F.struct(_centroid_dist(F.col(vec_col), _lit_vec(v)).alias("dist"),
+                     F.lit(cid).cast("int").alias("cid"))
+            for cid, v in enumerate(centroids)])
+        picked = F.slice(F.array_sort(probe_structs), 1, n_probe)
+        return (queries.select("*", F.explode(picked).alias("_pc"))
+                .withColumn(out_col, F.col("_pc.cid")).drop("_pc"))
+    cells = _probe_pandas_udf(centroids, n_probe)(F.col(vec_col))
+    return (queries.select("*", F.explode(cells).alias(out_col)))
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -326,18 +368,10 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     q = _normalize(_cast(queries).select(F.col("vec_id").alias("qid"), F.col("emb"))) \
         .select("qid", F.col("emb").alias("qe"))
-    # n_probe nearest cells per query: array_sort over (dist, cid)
-    # structs — lexicographic struct order == the former
-    # row_number over (order by dist, cid) — then slice + explode;
-    # still a narrow projection, no window, no fan-out
-    probe_structs = F.array(*[
-        F.struct(_centroid_dist(F.col("qe"), _lit_vec(v)).alias("dist"),
-                 F.lit(cid).cast("int").alias("cid"))
-        for cid, v in enumerate(cents)])
-    probes = (q.select("qid", "qe",
-                       F.explode(F.slice(F.array_sort(probe_structs),
-                                         1, n_probe)).alias("pc"))
-              .select("qid", "qe", F.col("pc.cid").alias("cid")))
+    # n_probe nearest cells per query: lexicographic (dist, cid)
+    # struct sort == the former row_number over (order by dist, cid);
+    # still a narrow projection + explode, no window, no fan-out
+    probes = ivf_probe_cells(q, cents, n_probe).select("qid", "qe", "cid")
 
     scored = (probes.join(index, "cid")
               .filter(F.col("qid") != F.col("nid"))

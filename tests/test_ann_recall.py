@@ -114,3 +114,26 @@ def test_ivf_assign_pandas_matches_literal(spark):
         ._jdf.queryExecution().toString()
     for banned in ("Exchange", "Window", "Join", "CartesianProduct"):
         assert banned not in plan, banned
+
+
+def test_ivf_probe_pandas_matches_literal(spark):
+    """Query-side probe selection: the Arrow argsort kernel must pick
+    the same n_probe cells in the same order as the literal
+    (dist, cid) struct sort."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = simsearch._normalize(simsearch._cast(emb).select(
+        F.col("vec_id").alias("qid"), F.col("emb"))) \
+        .select("qid", F.col("emb").alias("qe"))
+    rng = np.random.default_rng(37)
+    cents = [[float(v) for v in row]
+             for row in (rng.standard_normal((48, 64)) / 8).round(6)]
+    def cells(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"], []).append(r["cid"])
+        return out
+    lit = cells(simsearch.ivf_probe_cells(q, cents, 4,
+                                          max_literal_cells=256))
+    arrow = cells(simsearch.ivf_probe_cells(q, cents, 4,
+                                            max_literal_cells=1))
+    assert lit == arrow and all(len(v) == 4 for v in lit.values())
