@@ -137,3 +137,17 @@ def test_ivf_probe_pandas_matches_literal(spark):
     arrow = cells(simsearch.ivf_probe_cells(q, cents, 4,
                                             max_literal_cells=1))
     assert lit == arrow and all(len(v) == 4 for v in lit.values())
+
+
+def test_ivf_topk_large_cells_end_to_end(spark, clustered):
+    """ivf_topk past the literal-cell threshold (300 cells → both the
+    Lloyd rounds and the search run on the Arrow kernels): still
+    returns k results per query with in-cluster recall."""
+    df, q = clustered
+    exact = simsearch.cosine_topk(df, q, k=5)
+    ann = simsearch.ivf_topk(df, q, k=5, n_cells=300, n_probe=30)
+    got = {}
+    for r in ann.collect():
+        got.setdefault(r["qid"], []).append(r["nid"])
+    assert all(len(v) == 5 for v in got.values()) and len(got) == 10
+    assert _recall_at_k(exact, ann) >= 0.9
