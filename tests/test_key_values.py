@@ -180,3 +180,31 @@ def test_deep_and_cellular_key_values_equivalence(spark):
         gm, gn = ca_got[iid]
         assert gn == bn
         np.testing.assert_array_equal(_unmap(gm), bm)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=-0.001,
+                          allow_nan=False, width=64),
+                min_size=3, max_size=3, unique=True))
+def test_nn_kernel_key_values_property(codes):
+    """Property: for ANY distinct negative sentinel triple, the NN
+    kernel on the remapped matrix equals the default result remapped
+    (numpy-level — no Spark, so hypothesis can sweep encodings)."""
+    from ssgp_toolbox_spark.kernels import nn
+    from ssgp_toolbox_spark.sentinels import Sentinels
+
+    rng = np.random.default_rng(7)
+    m = rng.uniform(270.0, 310.0, (12, 9))
+    m[rng.random(m.shape) < 0.2] = GAP
+    m[0, 0] = SKIP
+    m[5, 5] = NODATA
+    base, status = nn.nn_interpolate(m)
+    kv = {"gap": codes[0], "skip": codes[1], "NoData": codes[2]}
+    got, status2 = nn.nn_interpolate(_remap(m, kv),
+                                     Sentinels(*codes))
+    assert status2 == status
+    np.testing.assert_array_equal(_unmap(got, kv), base)
