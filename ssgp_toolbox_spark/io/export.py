@@ -284,7 +284,15 @@ def write_netcdf_stacks_partitioned(images, out_dir: str):
     encoded exactly once, executor-side). Layers are stacked in
     image_id order with their trailing timestamp labels
     (reference timeseries.py:335-374 layout). Returns the manifest
-    (site, path, n_layers, n_bytes)."""
+    (site, path, n_layers, n_bytes).
+
+    Memory bound: one task holds one site's FULL stack (layers × h ×
+    w float32) — inherent to the classic-CDF single-file layout,
+    which cannot be appended from multiple writers. For sites whose
+    stack exceeds task memory, key the group on (site, tile) via
+    tiling.py (one file per tile) or chunk the time axis into
+    per-epoch files; the GeoTIFF sink above has no such bound (one
+    raster per file)."""
     import os
 
     import pandas as pd
