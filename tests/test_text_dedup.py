@@ -203,3 +203,53 @@ def test_ivf_sampled_training_recall(spark):
     assert len(got) == 8 * 3
     for (q, rank), n in got.items():
         assert n % 4 == q % 4, (q, rank, n)
+
+
+def test_hamming_pairs_exactness_property(spark):
+    """Pigeonhole exactness: on seeded random 64-bit corpora the
+    banded equi-join returns EXACTLY the brute-force pair set for
+    max_dist in {2, 8} — including planted near pairs at the radius
+    boundary. (The pigeonhole guarantee: max_dist+1 disjoint bands,
+    any pair within max_dist shares >= one exact band.)"""
+    rng = np.random.default_rng(23)
+    for max_dist in (2, 8):
+        base = rng.integers(-2**63, 2**63 - 1, size=40, dtype=np.int64)
+        hashes = list(base)
+        # planted pairs at exactly max_dist and max_dist+1 bit flips
+        for flips in (max_dist, max_dist + 1):
+            v = int(base[0])
+            for b in rng.choice(64, size=flips, replace=False):
+                v ^= 1 << int(b)
+            hashes.append(np.int64(np.uint64(v % 2**64)))
+        rows = [(f"i{j:03d}", int(h)) for j, h in enumerate(hashes)]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        got = {(r["a"], r["b"], r["hamming"]) for r in
+               dedup.hamming_pairs(df, max_dist=max_dist).collect()}
+        brute = set()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin((rows[i][1] ^ rows[j][1]) % 2**64).count("1")
+                if d <= max_dist:
+                    a, b = sorted((rows[i][0], rows[j][0]))
+                    brute.add((a, b, d))
+        assert got == brute, (max_dist, got ^ brute)
+        # the planted boundary pair is found, the over-radius one not
+        assert any(a == "i000" and b == "i040" for a, b, d in got)
+        assert not any(a == "i000" and b == "i041" for a, b, d in got)
+
+
+def test_simhash_composes_with_hamming_pairs(spark):
+    """The SimHash signature table feeds hamming_pairs directly
+    (hash_col is generic): two near-duplicate texts land within
+    Hamming distance 8 of each other while unrelated docs do not —
+    the full text near-dup pipeline as a two-operator composition."""
+    docs = [(1, "the quick brown fox jumps over the lazy dog by the river"),
+            (2, "the quick brown fox jumps over the lazy cat by the river"),
+            (3, "completely different content about distributed query engines"),
+            (4, "spark catalyst optimizer plans columnar scans and joins")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = dedup.simhash(df)
+    pairs = {(r["a"], r["b"]) for r in dedup.hamming_pairs(
+        sig, id_col="doc_id", hash_col="simhash", max_dist=8).collect()}
+    assert (1, 2) in pairs
+    assert all({a, b} == {1, 2} for a, b in pairs)
