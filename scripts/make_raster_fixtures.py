@@ -353,7 +353,8 @@ def main():
         rows["status"].append(status)
         rows["filled_px"].append(
             int((mr == kv["gap"]).sum()) if status == "filled" else 0)
-        rows["phash"].append(oracles.phash64_oracle(filled))
+        rows["phash"].append(oracles.phash64_oracle(
+            filled, kv["gap"], kv["skip"], kv["NoData"]))
     write("r19_expected", rows)
 
 

@@ -178,12 +178,21 @@ def _block_mean_resize(a: np.ndarray, n: int = 32) -> np.ndarray:
     return out / cnt
 
 
-def phash64(matrix: np.ndarray) -> int:
+def phash64(matrix: np.ndarray, gap: float | None = None,
+            skip: float | None = None, nodata: float | None = None) -> int:
     """64-bit DCT perceptual hash; sentinel pixels replaced by the
     valid median so clouds don't dominate the hash. Returns a *signed*
-    int64 (Spark/parquet LongType has no unsigned)."""
+    int64 (Spark/parquet LongType has no unsigned).
+
+    ``gap``/``skip``/``nodata`` override which values count as
+    sentinels (the ``key_values`` convention) — default None = the
+    module defaults, keeping every existing hash stable. Hashes are
+    comparable only within one encoding (the masked pixels differ)."""
     m = np.asarray(matrix, dtype=np.float64)
-    inv = is_invalid(m)
+    inv = is_invalid(m,
+                     GAP if gap is None else gap,
+                     SKIP if skip is None else skip,
+                     NODATA if nodata is None else nodata)
     if inv.all():
         fill = 0.0
     else:

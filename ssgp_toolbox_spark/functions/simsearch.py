@@ -267,7 +267,16 @@ def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
       Catalyst expression is impossible but a (10^6 × d) float matrix
       is an ordinary broadcast-sized side input. (Beyond ~10^5 cells
       ship the matrix as a SparkContext.broadcast instead of a
-      closure capture; same kernel.)"""
+      closure capture; same kernel.)
+
+    Cross-strategy caveat: the two paths round via different
+    floating-point routes (fold-summed (a-b)^2 + BigDecimal HALF_UP
+    vs expanded x^2-2xc+c^2 + floor(d*1e6+0.5)); a distance within
+    ~1e-12 of a 5e-7 rounding boundary could in principle argmin to a
+    different cell. Parity is asserted on the test corpora; the
+    strategy choice is deterministic per (n_cells, max_literal_cells),
+    so any single configuration is always self-consistent — only the
+    SQL-oracle guarantee is literal-path-specific."""
     if len(centroids) <= max_literal_cells:
         return vectors.withColumn(out_col,
                                   _argmin_cell(F.col(vec_col), centroids))

@@ -220,7 +220,10 @@ def parse_netcdf_stack(buf: bytes):
 # ---------------------------------------------------- distributed sinks
 
 def _safe_name(image_id: str) -> str:
-    return image_id.replace("/", "__")
+    # INJECTIVE escaping: '%' is escaped first, so distinct ids can
+    # never collide on one path (plain '/'→'_' would conflate
+    # 'a/b' with 'a_b' and silently overwrite files)
+    return image_id.replace("%", "%25").replace("/", "%2F")
 
 
 def write_geotiff_partitioned(images, out_dir: str, min_x: float,
@@ -262,15 +265,19 @@ def write_geotiff_partitioned(images, out_dir: str, min_x: float,
             rows = []
             for row in pdf.itertuples(index=False):
                 m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
-                tif = encode_geotiff(m.astype(np.float32), min_x, max_y,
+                m32 = m.astype(np.float32)
+                tif = encode_geotiff(m32, min_x, max_y,
                                      x_res, y_res, epsg)
                 path = os.path.join(out_dir, _safe_name(row.image_id) + ".tif")
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
                     f.write(tif)
                 os.replace(tmp, path)  # atomic: readers never see partials
+                # manifest phash = hash of the bytes ON DISK (float32
+                # cast applied), so re-reading a file always reproduces
+                # its manifest row
                 rows.append((row.image_id, path, len(tif),
-                             codecs.phash64(m)))
+                             codecs.phash64(m32.astype(np.float64))))
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     cols = ["image_id", "bytes", "w", "h", "fmt"]

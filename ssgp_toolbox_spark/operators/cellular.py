@@ -24,6 +24,7 @@ from ssgp_toolbox_spark import codecs
 from ssgp_toolbox_spark.kernels import cellular as ca
 from ssgp_toolbox_spark.operators.gapfill import _stable_seed, pack_extra
 from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          check_payload_fmt,
                                           resolve_key_values)
 
 CA_SCHEMA = T.StructType([
@@ -43,6 +44,7 @@ def _ca_batches(iters: int, sv: Sentinels = DEFAULT_SENTINELS):
         for pdf in batches:
             out = {k: [] for k in CA_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
+                check_payload_fmt(row.fmt, sv)
                 m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 e = row.extra_layer
                 biome = codecs.decode(e["bytes"], int(e["h"]), int(e["w"]), e["fmt"])
@@ -57,7 +59,8 @@ def _ca_batches(iters: int, sv: Sentinels = DEFAULT_SENTINELS):
                 out["h"].append(row.h)
                 out["fmt"].append(row.fmt)
                 out["caption"].append(row.caption)
-                out["phash"].append(codecs.phash64(expanded))
+                out["phash"].append(
+                    codecs.phash64(expanded, sv.gap, sv.skip, sv.nodata))
                 out["expanded_px"].append(
                     int((expanded == sv.gap).sum()) - before)
             yield pd.DataFrame(out)

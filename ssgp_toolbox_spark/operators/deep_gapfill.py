@@ -54,6 +54,7 @@ from ssgp_toolbox_spark.kernels import batch
 from ssgp_toolbox_spark.kernels import frame as frame_kernel
 from ssgp_toolbox_spark.operators import gapfill as G
 from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          check_payload_fmt,
                                           resolve_key_values)
 
 COORDS_SCHEMA = T.StructType([
@@ -82,6 +83,7 @@ def _coords_batches(predictor_configuration: str, chunk_px: int,
         for pdf in batches:
             out = {k: [] for k in COORDS_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
+                check_payload_fmt(row.fmt, sv)
                 w = int(row.w)
                 final = codecs.decode(row.bytes, int(row.h), w, row.fmt)
                 extra = None
@@ -224,7 +226,8 @@ def gapfill_deep(images: DataFrame, method: str = "Knn",
             F.struct("chunk_id", "rows", "cols", "vals", "scores")).alias("chunks"))
     assembled = viable.select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
-    ).join(packed, "image_id").mapInPandas(G._assemble_batches, G.GAPFILL_SCHEMA)
+    ).join(packed, "image_id").mapInPandas(G._assemble_batches_fn(sv),
+                                           G.GAPFILL_SCHEMA)
 
     pass_df = passthrough.select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash",

@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 from ssgp_toolbox_spark import codecs
 from ssgp_toolbox_spark.kernels import timeseries as ts_kernel
 from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          check_payload_fmt,
                                           resolve_key_values)
 
 STEP_SECONDS = {"12H": 43200, "6H": 21600, "24H": 86400, "1D": 86400}
@@ -98,6 +99,7 @@ def _resolve_batches(averaging: str, step_s: int,
                 start_ns = pd.Timestamp(row.start).value
                 centroid_ns = start_ns + int((row.bucket + 0.5) * step_s * 1e9)
                 h, w, fmt = int(row.h), int(row.w), row.fmt
+                check_payload_fmt(fmt, sv)
                 if layers is None or len(layers) == 0:
                     payload = codecs.encode(np.full((h, w), sv.gap), fmt)
                     n = 0

@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 from ssgp_toolbox_spark import codecs
 from ssgp_toolbox_spark.kernels import frame as frame_kernel
 from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          check_payload_fmt,
                                           resolve_key_values)
 
 GAPFILL_SCHEMA = T.StructType([
@@ -111,6 +112,7 @@ def _fill_batches(method, predictor_configuration, hyperparameters, params,
         for pdf in batches:
             out = {k: [] for k in GAPFILL_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
+                check_payload_fmt(row.fmt, sv)
                 final = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 tensor = np.stack([
                     codecs.decode(l["bytes"], int(l["h"]), int(l["w"]), l["fmt"])
@@ -132,7 +134,8 @@ def _fill_batches(method, predictor_configuration, hyperparameters, params,
                 out["h"].append(row.h)
                 out["fmt"].append(row.fmt)
                 out["caption"].append(row.caption)
-                out["phash"].append(codecs.phash64(filled))
+                out["phash"].append(
+                    codecs.phash64(filled, sv.gap, sv.skip, sv.nodata))
                 out["status"].append("filled")
                 out["filled_px"].append(n_gaps)
                 out["mean_cv_mae"].append(
@@ -268,6 +271,7 @@ def _chunk_fill_batches(bc, method, predictor_configuration,
         for pdf in batches:
             out = {k: [] for k in CHUNK_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
+                check_payload_fmt(bc.value["inputs"][row.image_id][3], sv)
                 final = _bc_image(bc, row.image_id).copy()
                 tensor, extra = _bc_tensors(bc, row.site)
                 lo = int(row.chunk_id) * chunk_px
@@ -290,7 +294,8 @@ def _chunk_fill_batches(bc, method, predictor_configuration,
     return fn
 
 
-def _assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _assemble_batches_fn(sv: Sentinels = DEFAULT_SENTINELS):
+  def _assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in GAPFILL_SCHEMA.fieldNames()}
         for row in pdf.itertuples(index=False):
@@ -312,11 +317,14 @@ def _assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             out["h"].append(row.h)
             out["fmt"].append(row.fmt)
             out["caption"].append(row.caption)
-            out["phash"].append(codecs.phash64(filled))
+            out["phash"].append(
+                codecs.phash64(filled, sv.gap, sv.skip, sv.nodata))
             out["status"].append("filled")
             out["filled_px"].append(n_px)
             out["mean_cv_mae"].append(float(scores.mean()) if len(scores) else float("nan"))
         yield pd.DataFrame(out)
+
+  return _assemble_batches
 
 
 def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
@@ -401,7 +409,8 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
     )
     assembled = viable.select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
-    ).join(packed, "image_id").mapInPandas(_assemble_batches, GAPFILL_SCHEMA)
+    ).join(packed, "image_id").mapInPandas(_assemble_batches_fn(sv),
+                                           GAPFILL_SCHEMA)
 
     pass_df = passthrough.select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash",

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 from ssgp_toolbox_spark import codecs
 from ssgp_toolbox_spark.kernels import nn
 from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          check_payload_fmt,
                                           resolve_key_values)
 
 NN_FILL_SCHEMA = T.StructType([
@@ -48,6 +49,7 @@ def _nn_fill_batches(sv: Sentinels = DEFAULT_SENTINELS):
     for pdf in batches:
         out = {k: [] for k in NN_FILL_SCHEMA.fieldNames()}
         for row in pdf.itertuples(index=False):
+            check_payload_fmt(row.fmt, sv)
             m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
             filled, status = nn.nn_interpolate(m, sv)
             changed = status == "filled"
@@ -58,7 +60,9 @@ def _nn_fill_batches(sv: Sentinels = DEFAULT_SENTINELS):
             out["h"].append(row.h)
             out["fmt"].append(row.fmt)
             out["caption"].append(row.caption)
-            out["phash"].append(codecs.phash64(filled) if changed else row.phash)
+            out["phash"].append(
+                codecs.phash64(filled, sv.gap, sv.skip, sv.nodata)
+                if changed else row.phash)
             out["status"].append(status)
             out["filled_px"].append(int((m == sv.gap).sum()) if changed else 0)
         yield pd.DataFrame(out)
@@ -99,6 +103,7 @@ def _nn_chunk_batches(chunk_px: int, sv: Sentinels = DEFAULT_SENTINELS):
         for pdf in batches:
             out = {k: [] for k in _NN_CHUNK_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
+                check_payload_fmt(row.fmt, sv)
                 m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 work = m.copy()
                 work[(work == sv.skip) | (work == sv.nodata)] = sv.gap
@@ -118,7 +123,8 @@ def _nn_chunk_batches(chunk_px: int, sv: Sentinels = DEFAULT_SENTINELS):
     return fn
 
 
-def _nn_assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _nn_assemble_batches_fn(sv: Sentinels = DEFAULT_SENTINELS):
+  def _nn_assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
@@ -138,10 +144,13 @@ def _nn_assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             out["h"].append(row.h)
             out["fmt"].append(row.fmt)
             out["caption"].append(row.caption)
-            out["phash"].append(codecs.phash64(filled))
+            out["phash"].append(
+                codecs.phash64(filled, sv.gap, sv.skip, sv.nodata))
             out["status"].append("filled")
             out["filled_px"].append(n_px)
         yield pd.DataFrame(out)
+
+  return _nn_assemble_batches
 
 
 def nn_fill_balanced(images: DataFrame, chunk_px: int = 4096,
@@ -150,8 +159,13 @@ def nn_fill_balanced(images: DataFrame, chunk_px: int = 4096,
     chunk-sized tasks with full-image lookup context — bit-identical
     to ``nn_fill`` (1-NN is deterministic), but a big or heavily
     gapped image no longer serializes the stage. Requires the stats
-    columns. Non-viable (valid_px <= 10) and no-gap images follow the
-    reference branches (gapfiller.py:920-936)."""
+    columns — and with ``key_values`` set, the stats columns MUST have
+    been computed with the SAME encoding
+    (``stats.with_stats(key_values=...)``): default-encoded stats on a
+    custom-encoded corpus would report gap_count=0 and silently route
+    every image to the passthrough branch. Non-viable (valid_px <= 10)
+    and no-gap images follow the reference branches
+    (gapfiller.py:920-936)."""
     from pyspark.sql import functions as F
 
     sv = resolve_key_values(key_values)
@@ -176,5 +190,5 @@ def nn_fill_balanced(images: DataFrame, chunk_px: int = 4096,
         F.collect_list(F.struct("chunk_id", "rows", "cols", "vals")).alias("chunks")
     )
     assembled = viable.select(*base_cols).join(packed, "image_id") \
-        .mapInPandas(_nn_assemble_batches, NN_FILL_SCHEMA)
+        .mapInPandas(_nn_assemble_batches_fn(sv), NN_FILL_SCHEMA)
     return assembled.unionByName(passthrough).unionByName(nonviable)

@@ -133,7 +133,8 @@ def _fill_window_fn(sv: Sentinels = DEFAULT_SENTINELS):
   return _fill_window
 
 
-def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _assemble_fn(sv: Sentinels = DEFAULT_SENTINELS):
+  def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
     image_id = key[0]
     h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
     fmt = pdf["fmt"].iloc[0]
@@ -143,11 +144,13 @@ def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         "bytes": codecs.encode(m, fmt),
         "w": w, "h": h, "fmt": fmt,
         "caption": pdf["caption"].iloc[0],
-        "phash": codecs.phash64(m),
+        "phash": codecs.phash64(m, sv.gap, sv.skip, sv.nodata),
         "status": "filled",
         "filled_px": 0,
         "unresolved_px": int(pdf["unresolved_px"].sum()),
     }])
+
+  return _assemble
 
 
 _OUT_SCHEMA = T.StructType([
@@ -179,4 +182,5 @@ def tiled_nn_fill(images: DataFrame, tile: int = 64,
     filled_tiles = owners.groupBy("image_id", "owner_tx", "owner_ty").applyInPandas(
         _fill_window_fn(sv), _FILLED_TILE_SCHEMA
     )
-    return filled_tiles.groupBy("image_id").applyInPandas(_assemble, _OUT_SCHEMA)
+    return filled_tiles.groupBy("image_id").applyInPandas(
+        _assemble_fn(sv), _OUT_SCHEMA)

@@ -177,7 +177,8 @@ def _fill_tile_group(params, sv: Sentinels = DEFAULT_SENTINELS):
     return fn
 
 
-def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _assemble_fn(sv: Sentinels = DEFAULT_SENTINELS):
+  def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
     h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
     fmt = pdf["fmt"].iloc[0]
     m = tiling.assemble_from_tiles(pdf, h, w)
@@ -190,11 +191,13 @@ def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         "bytes": codecs.encode(m, fmt),
         "w": w, "h": h, "fmt": fmt,
         "caption": pdf["caption"].iloc[0],
-        "phash": codecs.phash64(m),
+        "phash": codecs.phash64(m, sv.gap, sv.skip, sv.nodata),
         "status": "filled",
         "filled_px": int(len(scores)),
         "mean_cv_mae": float(scores.mean()) if len(scores) else float("nan"),
     }])
+
+  return _assemble
 
 
 def tiled_gapfill(images: DataFrame, tile: int = 64, halo: int = 32,
@@ -211,4 +214,5 @@ def tiled_gapfill(images: DataFrame, tile: int = 64, halo: int = 32,
     filled_tiles = tiles.groupBy("site", "tx", "ty").applyInPandas(
         _fill_tile_group(params, sv), _FILL_TILE_SCHEMA
     )
-    return filled_tiles.groupBy("image_id").applyInPandas(_assemble, GAPFILL_SCHEMA)
+    return filled_tiles.groupBy("image_id").applyInPandas(
+        _assemble_fn(sv), GAPFILL_SCHEMA)

@@ -134,3 +134,18 @@ def resolve_key_values(key_values: dict | None) -> Sentinels:
     return Sentinels(gap=key_values.get("gap", GAP),
                      skip=key_values.get("skip", SKIP),
                      nodata=key_values.get("NoData", NODATA))
+
+
+def check_payload_fmt(fmt: str, sv: "Sentinels") -> None:
+    """Custom sentinel encodings require the lossless payload format:
+    the png16 quantizer (codecs._quantize) reserves integer codes for
+    the DEFAULT sentinel values only, so custom codes would be
+    quantized (lossily) as ordinary data and the override would
+    silently fill nothing. Raise up front instead."""
+    if sv == DEFAULT_SENTINELS:
+        return
+    if fmt != "npy-f64":
+        raise ValueError(
+            f"key_values overrides require fmt='npy-f64' payloads; "
+            f"got {fmt!r} — the {fmt!r} codec reserves sentinel codes "
+            "for the default encoding only")

@@ -383,12 +383,13 @@ def cellular_expand_oracle(matrix, biome, iters, seed, gap=GAP):
     return m
 
 
-def phash64_oracle(matrix):
+def phash64_oracle(matrix, gap=GAP, skip=SKIP, nodata=NODATA):
     """Naive transcription of the engine's documented 64-bit DCT
     perceptual hash (codecs.py:181-201): median-fill sentinels, 32×32
-    block-mean resize, DCT-II, top-left 8×8 vs median (DC skipped)."""
+    block-mean resize, DCT-II, top-left 8×8 vs median (DC skipped).
+    ``gap``/``skip``/``nodata`` mirror the key_values override."""
     m = np.asarray(matrix, float)
-    inv = (m == GAP) | (m == SKIP) | (m == NODATA)
+    inv = (m == gap) | (m == skip) | (m == nodata)
     fill = 0.0 if inv.all() else float(np.median(m[~inv]))
     m = np.where(inv, fill, m)
     h, w = m.shape

@@ -105,3 +105,36 @@ def test_netcdf_partitioned_sink_roundtrip(spark, tmp_path):
         for i, r in enumerate(rows):
             m = codecs.decode(bytes(r["bytes"]), r["h"], r["w"], r["fmt"])
             np.testing.assert_array_equal(tensor[i], m.astype(np.float32))
+
+
+def test_partitioned_sink_manifest_matches_disk_and_names_injective(spark, tmp_path):
+    """Manifest phash must equal the phash of the file's CONTENT
+    (float32 cast applied before hashing), and the filename escaping
+    must be injective — ids that a plain '/'→'_' mapping would
+    conflate write distinct files."""
+    import os
+
+    from ssgp_toolbox_spark import codecs, generator
+    from ssgp_toolbox_spark.io import images as img_io
+
+    out = str(tmp_path / "tifs2")
+    imgs = img_io.with_id_parts(generator.images_df(
+        spark, sites=("stp",), n_history=1, n_inputs=1))
+    # plant two ids that collide under naive '/'->'__' replacement
+    base = imgs.limit(1).collect()[0]
+    clash = spark.createDataFrame(
+        [("a/b__c",) + tuple(base[c] for c in
+                             ["bytes", "w", "h", "fmt"]),
+         ("a__b/c",) + tuple(base[c] for c in
+                             ["bytes", "w", "h", "fmt"])],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    manifest = export.write_geotiff_partitioned(
+        imgs.select("image_id", "bytes", "w", "h", "fmt").unionByName(clash),
+        out, 300000.0, 6200000.0, 1000.0, 1000.0, 32635).collect()
+    paths = [r["path"] for r in manifest]
+    assert len(set(paths)) == len(paths) == 5
+    for r in manifest:
+        with open(r["path"], "rb") as f:
+            back, _tags = export.parse_geotiff(f.read())
+        assert codecs.phash64(back.astype(np.float64)) == r["phash"], \
+            r["image_id"]

@@ -208,3 +208,22 @@ def test_nn_kernel_key_values_property(codes):
                                      Sentinels(*codes))
     assert status2 == status
     np.testing.assert_array_equal(_unmap(got, kv), base)
+
+
+def test_key_values_rejects_lossy_fmt(spark):
+    """png16 payloads quantize with reserved codes for the DEFAULT
+    sentinels only — a custom encoding there would be silently
+    corrupted (custom codes quantized as data, nothing filled). The
+    operators must raise up front instead."""
+    imgs = stats.with_stats(img_io.with_id_parts(generator.images_df(
+        spark, sites=("mini",), shape=(30, 20), n_history=2, n_inputs=1,
+        fmt=codecs.FMT_PNG16)))
+    with pytest.raises(Exception, match="npy-f64"):
+        nn_fill.nn_fill(imgs.filter(F.col("role") == "input"),
+                        key_values=KV).collect()
+    with pytest.raises(Exception, match="npy-f64"):
+        gapfill.gapfill(imgs, method="Knn", predictor_configuration="Random",
+                        hyperparameters="Custom", params={"n_neighbors": 5},
+                        key_values=KV).collect()
+    # default encoding on png16 keeps working
+    assert nn_fill.nn_fill(imgs.filter(F.col("role") == "input")).count() == 1
