@@ -226,6 +226,18 @@ def _safe_name(image_id: str) -> str:
     return image_id.replace("%", "%25").replace("/", "%2F")
 
 
+def _attempt_tmp(path: str) -> str:
+    # staging name unique PER ATTEMPT: with a shared `path + '.tmp'`,
+    # concurrent speculative/retried attempts for the same image_id
+    # share the staging file — the first finisher can os.replace a
+    # file the second attempt is mid-rewriting, and the loser's
+    # os.replace then raises FileNotFoundError
+    import os
+    import uuid
+
+    return f"{path}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
+
+
 def write_geotiff_partitioned(images, out_dir: str, min_x: float,
                               max_y: float, x_res: float, y_res: float,
                               epsg: int):
@@ -234,12 +246,17 @@ def write_geotiff_partitioned(images, out_dir: str, min_x: float,
     (the scale shape the one-file-from-the-driver examples above lack;
     round-3 VERDICT 'Next round' #8). ``out_dir`` must be
     task-reachable shared storage on a real cluster (NFS/object-store
-    mount); each row lands as ``<out_dir>/<image_id with '/'→'__'>.tif``.
+    mount); each row lands as ``<out_dir>/<_safe_name(image_id)>.tif``
+    — percent-escaping ('%'→'%25', '/'→'%2F'), injective so distinct
+    ids never collide on one path.
 
     Returns a manifest DataFrame (image_id, path, n_bytes, phash) —
     an ACTION has to materialize it for the files to exist. The writes
     are idempotent per image_id (task retries overwrite the same
-    path), so speculative/retried tasks are safe.
+    path), and each attempt stages through its OWN tmp file (pid+uuid
+    suffix) before the atomic rename, so concurrent speculative /
+    retried attempts for the same image_id cannot clobber each
+    other's half-written staging file.
 
     Spark idiom note: this is the mapInPandas flavor of a
     foreachPartition sink — mapInPandas is used instead so the sink
@@ -269,7 +286,7 @@ def write_geotiff_partitioned(images, out_dir: str, min_x: float,
                 tif = encode_geotiff(m32, min_x, max_y,
                                      x_res, y_res, epsg)
                 path = os.path.join(out_dir, _safe_name(row.image_id) + ".tif")
-                tmp = path + ".tmp"
+                tmp = _attempt_tmp(path)
                 with open(tmp, "wb") as f:
                     f.write(tif)
                 os.replace(tmp, path)  # atomic: readers never see partials
@@ -315,7 +332,7 @@ def write_netcdf_stacks_partitioned(images, out_dir: str):
         steps = [iid.split("/")[-1] for iid in pdf["image_id"]]
         nc = encode_netcdf_stack(np.stack(mats), steps)
         path = os.path.join(out_dir, _safe_name(str(key[0])) + ".nc")
-        tmp = path + ".tmp"
+        tmp = _attempt_tmp(path)
         with open(tmp, "wb") as f:
             f.write(nc)
         os.replace(tmp, path)

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ssgp_toolbox_spark import codecs
-from ssgp_toolbox_spark.sentinels import resolve_key_values, sentinel_stats
+from ssgp_toolbox_spark.sentinels import (check_payload_fmt,
+                                          resolve_key_values, sentinel_stats)
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("gap_count", T.IntegerType()),
@@ -33,6 +34,10 @@ def _stats_udf(sv):
            fmt: pd.Series) -> pd.DataFrame:
         rows = []
         for b, hh, ww, f in zip(payload, h, w, fmt):
+            # a custom encoding on a lossy payload would count the
+            # DEFAULT codes → gap_count=0 → every image routed to
+            # passthrough, bypassing the fill operators' own guard
+            check_payload_fmt(f, sv)
             rows.append(sentinel_stats(codecs.decode(b, int(hh), int(ww), f),
                                        sv.gap, sv.skip, sv.nodata))
         return pd.DataFrame(rows)

@@ -37,7 +37,8 @@ from pyspark.sql import types as T
 
 from ssgp_toolbox_spark import codecs, tiling
 from ssgp_toolbox_spark.kernels import nn
-from ssgp_toolbox_spark.sentinels import DEFAULT_SENTINELS, Sentinels
+from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          check_payload_fmt)
 
 _TILE_SCHEMA = T.StructType(
     [T.StructField("image_id", T.StringType()),
@@ -47,11 +48,14 @@ _TILE_SCHEMA = T.StructType(
 )
 
 
-def _explode_batches(tile: int):
+def _explode_batches(tile: int, sv: Sentinels = DEFAULT_SENTINELS):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
+                # custom sentinel encodings on a lossy payload would
+                # decode to the DEFAULT codes and silently fill nothing
+                check_payload_fmt(row.fmt, sv)
                 m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 tiles = tiling.explode_tiles_pdf(row.image_id, m, tile, halo=0)
                 tiles["w"] = row.w
@@ -177,7 +181,8 @@ def tiled_nn_fill(images: DataFrame, tile: int = 64,
 
     sv = resolve_key_values(key_values)
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
-    tiles = images.select(*cols).mapInPandas(_explode_batches(tile), _TILE_SCHEMA)
+    tiles = images.select(*cols).mapInPandas(_explode_batches(tile, sv),
+                                             _TILE_SCHEMA)
     owners = tiling.tile_neighbors_df(tiles)
     filled_tiles = owners.groupBy("image_id", "owner_tx", "owner_ty").applyInPandas(
         _fill_window_fn(sv), _FILLED_TILE_SCHEMA

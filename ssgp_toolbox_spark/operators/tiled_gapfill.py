@@ -37,6 +37,7 @@ from ssgp_toolbox_spark import codecs, tiling
 from ssgp_toolbox_spark.kernels import batch as batch_kernel
 from ssgp_toolbox_spark.operators.gapfill import GAPFILL_SCHEMA, _stable_seed
 from ssgp_toolbox_spark.sentinels import (DEFAULT_SENTINELS, Sentinels,
+                                          check_payload_fmt,
                                           resolve_key_values)
 
 _TILE_LAYER_SCHEMA = T.StructType(
@@ -52,11 +53,14 @@ _TILE_LAYER_SCHEMA = T.StructType(
 )
 
 
-def _explode(tile: int, halo: int):
+def _explode(tile: int, halo: int, sv: Sentinels = DEFAULT_SENTINELS):
     def fn(batches):
         for pdf in batches:
             outs = []
             for row in pdf.itertuples(index=False):
+                # custom sentinel encodings on a lossy payload would
+                # decode to the DEFAULT codes and silently fill nothing
+                check_payload_fmt(row.fmt, sv)
                 m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
                 t = tiling.explode_tiles_pdf(row.image_id, m, tile, halo)
                 for col, val in (("site", row.site), ("role", row.role),
@@ -210,7 +214,8 @@ def tiled_gapfill(images: DataFrame, tile: int = 64, halo: int = 32,
     sv = resolve_key_values(key_values)
     cols = ["image_id", "site", "role", "ts", "bytes", "w", "h", "fmt",
             "caption", "phash"]
-    tiles = images.select(*cols).mapInPandas(_explode(tile, halo), _TILE_LAYER_SCHEMA)
+    tiles = images.select(*cols).mapInPandas(_explode(tile, halo, sv),
+                                             _TILE_LAYER_SCHEMA)
     filled_tiles = tiles.groupBy("site", "tx", "ty").applyInPandas(
         _fill_tile_group(params, sv), _FILL_TILE_SCHEMA
     )

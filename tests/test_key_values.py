@@ -61,7 +61,9 @@ def _remapped_images(spark, **gen_kw):
         m = _remap(codecs.decode(bytes(r["bytes"]), r["h"], r["w"], r["fmt"]))
         d = r.asDict()
         d["bytes"] = codecs.encode(m, r["fmt"])
-        d["phash"] = codecs.phash64(m)
+        # kv-aware input phash: non-filled rows echo this value, so it
+        # must follow the remapped corpus's own encoding convention
+        d["phash"] = codecs.phash64(m, KV["gap"], KV["skip"], KV["NoData"])
         remapped.append(tuple(d[f] for f in imgs.columns))
     return spark.createDataFrame(remapped, imgs.schema)
 
@@ -227,3 +229,30 @@ def test_key_values_rejects_lossy_fmt(spark):
                         key_values=KV).collect()
     # default encoding on png16 keeps working
     assert nn_fill.nn_fill(imgs.filter(F.col("role") == "input")).count() == 1
+
+
+def test_key_values_rejects_lossy_fmt_tiled_and_stats(spark):
+    """The guard must fire on EVERY entry point: with_stats(kv) on
+    png16 would otherwise count the DEFAULT codes (gap_count=0 →
+    all images routed to passthrough, bypassing the fill operators'
+    own guard, which only runs inside the viable-row mapInPandas);
+    tiled_gapfill/tiled_nn_fill would silently find zero gaps yet
+    report status='filled'."""
+    from ssgp_toolbox_spark.operators import tiled_fill, tiled_gapfill
+
+    imgs = img_io.with_id_parts(generator.images_df(
+        spark, sites=("mini",), shape=(30, 20), n_history=2, n_inputs=1,
+        fmt=codecs.FMT_PNG16))
+    with pytest.raises(Exception, match="npy-f64"):
+        stats.with_stats(imgs, KV).select("gap_count").collect()
+    with pytest.raises(Exception, match="npy-f64"):
+        tiled_gapfill.tiled_gapfill(imgs, tile=16, halo=8,
+                                    params={"n_neighbors": 5},
+                                    key_values=KV).collect()
+    with pytest.raises(Exception, match="npy-f64"):
+        tiled_fill.tiled_nn_fill(imgs.filter(F.col("role") == "input"),
+                                 tile=16, key_values=KV).collect()
+    # default encoding still passes through all three surfaces
+    assert stats.with_stats(imgs).count() == imgs.count()
+    assert tiled_fill.tiled_nn_fill(
+        imgs.filter(F.col("role") == "input"), tile=16).count() == 1
