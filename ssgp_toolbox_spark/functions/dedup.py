@@ -48,9 +48,27 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     return docs.select("doc_id", F.explode(grams).alias("shingle"))
 
 
-def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.4) -> DataFrame:
-    """Near-dup pairs by k-shingle Jaccard ≥ threshold (a < b)."""
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.4,
+                  max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs by k-shingle Jaccard ≥ threshold (a < b).
+
+    ``max_df``: the 100 TB hot-shingle guard (same shape as
+    ``max_bucket`` on the LSH/hamming paths). The shingle equi-join
+    is quadratic in per-shingle document frequency — one boilerplate
+    shingle shared by 10^6 docs is 10^12 pair rows in a single task.
+    With ``max_df`` set, shingles whose document frequency exceeds it
+    are dropped BEFORE the join, from both the intersection and the
+    per-doc set sizes, so the reported value is the exact Jaccard
+    over the reduced shingle universe (a shingle that common carries
+    no similarity signal — the standard stopword-shingle treatment).
+    None (default) keeps exact full-universe semantics; the intended
+    full-corpus usage remains LSH candidates + this as the verify
+    stage."""
     sh = shingles(docs, k)
+    if max_df is not None:
+        ok = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+              .filter(F.col("df") <= max_df).drop("df"))
+        sh = sh.join(ok, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("x")
@@ -275,6 +293,21 @@ def cluster_pairs(pairs: DataFrame, vertices: DataFrame | None = None,
     else:
         verts = edges.select(F.col("src").alias("id")).distinct()
     labels = verts.withColumn("label", F.col("id"))
+
+    def digest(lab: DataFrame):
+        # order-independent label-set fingerprint — one cheap
+        # partial-agg shuffle instead of a full label-compare join per
+        # round (the same convergence trick as cluster_pairs_star):
+        # count is the constant vertex total, the decimal(38,0) hash
+        # sum is collision-resistant across ~10^19 rows without
+        # ANSI int64 overflow
+        row = lab.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("id", "label").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_digest = digest(labels)
     rounds = 0
     while True:
         neigh = (edges.join(labels.withColumnRenamed("id", "dst")
@@ -285,12 +318,18 @@ def cluster_pairs(pairs: DataFrame, vertices: DataFrame | None = None,
                       .select("id", F.least(F.col("label"),
                                             F.coalesce("nmin", F.col("label")))
                               .alias("label")))
-        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label")).limit(1)
-                   .count())
-        if not changed:
-            labels = new_labels
-            break
+        new_digest = digest(new_labels)
+        if new_digest == prev_digest:
+            # digests agree → almost surely the fixpoint; confirm the
+            # one time it matters with the exact compare so a 64-bit
+            # hash-sum collision can't terminate the propagation early
+            changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                       .filter(F.col("n.label") != F.col("o.label")).limit(1)
+                       .count())
+            if not changed:
+                labels = new_labels
+                break
+        prev_digest = new_digest
         rounds += 1
         if rounds >= max_iter:
             # returning partial labels would silently violate the

@@ -144,6 +144,30 @@ def test_minhash_hot_bucket_guard(spark):
     assert capped <= full
 
 
+def test_jaccard_hot_shingle_guard(spark):
+    """max_df drops boilerplate shingles BEFORE the shingle self-join
+    (quadratic-blowup guard, round-4 VERDICT #3): 1,000 docs sharing
+    one boilerplate text would be ~500k pair rows through one shingle
+    group; with the cap they produce no candidates at all, while a
+    genuine near-dup pair (rare shingles, df=2 ≤ cap) survives with
+    its exact full-universe Jaccard (its shingles are untouched by
+    the filter)."""
+    from ssgp_toolbox_spark.functions import dedup
+
+    boiler = [(i, "this agreement is subject to the terms of service")
+              for i in range(1000)]
+    real = [(2000, "spatial gapfilling engines partition raster stacks"),
+            (2001, "spatial gapfilling engines partition raster tiles")]
+    docs = spark.createDataFrame(boiler + real, "doc_id long, text string")
+    capped = {(r["a"], r["b"]): r["jaccard"] for r in
+              dedup.jaccard_pairs(docs, threshold=0.1, max_df=10).collect()}
+    expect = {(r["a"], r["b"]): r["jaccard"] for r in
+              dedup.jaccard_pairs(
+                  spark.createDataFrame(real, "doc_id long, text string"),
+                  threshold=0.1).collect()}
+    assert capped == expect and (2000, 2001) in capped
+
+
 def test_hamming_hot_bucket_guard(spark):
     """max_bucket on hamming_pairs: 1,000 identical-phash images (the
     near-black-corpus degenerate case) share every band chunk; the cap
