@@ -172,3 +172,164 @@ def test_streaming_gapfill_equals_batch(spark, tmp_path):
     got = {r["image_id"]: (r["phash"], r["status"], r["filled_px"])
            for r in spark.sql("SELECT * FROM gapfill_stream_t").collect()}
     assert got == batch
+
+
+# ------------------------- dedup state kernel (round-4 VERDICT #1) —
+# the banded index must match brute force exactly and touch a
+# vanishing fraction of state per row
+
+def _brute_dedup(hashes, radius):
+    """reference: linear scan + per-candidate popcount over ALL kept
+    state (the pre-round-5 kernel's semantics)."""
+    kept, flags = [], []
+    for ph in hashes:
+        u = ph & ((1 << 64) - 1)
+        dup = any(p == ph for p in kept) or (
+            radius > 0 and any(
+                bin((p & ((1 << 64) - 1)) ^ u).count("1") <= radius
+                for p in kept))
+        flags.append(not dup)
+        if not dup:
+            kept.append(ph)
+    return flags, kept
+
+
+@pytest.mark.parametrize("radius", [0, 2, 8])
+def test_banded_seen_matches_bruteforce(radius):
+    from ssgp_toolbox_spark.streaming.dedup_stream import BandedSeen
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2 ** 63), 2 ** 63, size=400, dtype=np.int64)
+    # plant exact redeliveries and near-dups at hamming 1..radius+1
+    planted = []
+    for i in range(0, 100, 5):
+        planted.append(int(base[i]))                       # exact dup
+        flip = int(base[i + 1]) ^ (1 << int(rng.integers(64)))
+        planted.append(np.int64(np.uint64(flip & ((1 << 64) - 1))))
+    stream = [int(v) for v in base] + [int(v) for v in planted]
+    exp_flags, exp_kept = _brute_dedup(stream, radius)
+
+    seen = BandedSeen(radius)
+    got_flags = []
+    for ph in stream:
+        dup = seen.is_dup(ph)
+        got_flags.append(not dup)
+        if not dup:
+            seen.add(ph)
+    assert got_flags == exp_flags
+    assert seen.seen_list() == exp_kept
+    # state round-trip through the GroupState array schema
+    seen2 = BandedSeen(radius, seen.seen_list())
+    probe = int(base[0])
+    assert seen2.is_dup(probe) and seen2.seen_list() == exp_kept
+
+
+def test_banded_seen_sublinear_candidates():
+    """20k-hash state: the radius check must examine a vanishing
+    fraction of what the brute-force linear scan would (the
+    deterministic proxy for 'per-row cost does not grow with
+    state' — wall-time asserts would be host-noise flaky)."""
+    from ssgp_toolbox_spark.streaming.dedup_stream import BandedSeen
+
+    rng = np.random.default_rng(11)
+    hashes = [int(v) for v in
+              rng.integers(-(2 ** 63), 2 ** 63, size=20000, dtype=np.int64)]
+    seen = BandedSeen(4)
+    brute_comparisons = 0
+    for ph in hashes:
+        brute_comparisons += len(seen)
+        if not seen.is_dup(ph):
+            seen.add(ph)
+    assert len(seen) == 20000            # random hashes: no dups
+    assert brute_comparisons > 1.9e8
+    # 5 bands of ~13 bits -> expected candidate fraction ~5*2^-12.8
+    assert seen.candidates_examined < 0.01 * brute_comparisons
+
+
+class _FakeState:
+    def __init__(self, seen=None, timed_out=False):
+        self.exists = seen is not None
+        self.get = (seen,) if seen is not None else None
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_set = None
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, v):
+        self.updated = v
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_dedup_fn_eviction_branch():
+    """Processing-time-timeout eviction: a timed-out group's state is
+    removed and nothing is emitted; a live group re-arms the timeout
+    after every batch."""
+    import pandas as pd
+
+    from ssgp_toolbox_spark.streaming.dedup_stream import make_dedup_fn
+
+    fn = make_dedup_fn(hamming_radius=2, timeout_ms=60000)
+    dead = _FakeState(seen=[1, 2, 3], timed_out=True)
+    out = list(fn(("s1",), iter([]), dead))
+    assert dead.removed and dead.updated is None
+    assert len(out) == 1 and len(out[0]) == 0
+
+    live = _FakeState(seen=[1000])
+    pdf = pd.DataFrame({"image_id": ["a", "b"], "phash": [1000, 4096]})
+    out = list(fn(("s1",), iter([pdf]), live))
+    assert live.timeout_set == 60000
+    assert live.updated == ([1000, 4096],)
+    got = {r.image_id: r.is_new for r in out[0].itertuples()}
+    assert got == {"a": False, "b": True}
+
+
+def test_stateful_phash_dedup_with_timeout_enabled(spark, tmp_path):
+    """End-to-end with state_timeout_ms set: ProcessingTimeTimeout +
+    setTimeoutDuration must be accepted by the real state machinery,
+    and with a timeout far longer than the run the output equals the
+    exact-dedup result."""
+    from ssgp_toolbox_spark.streaming import dedup_stream
+
+    schema = T.StructType([
+        T.StructField("site", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ])
+    src = str(tmp_path / "dedup_src_tmo")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1)
+    spark.createDataFrame([
+        ("s1", t0, "img-a", 1000), ("s1", t0, "img-b", 2000),
+    ], schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame([
+        ("s1", t0, "img-a2", 1000), ("s1", t0, "img-c", 5000),
+    ], schema).coalesce(1).write.parquet(src + "/b2")
+    stream = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = dedup_stream.streaming_phash_dedup(
+        stream.withWatermark("ts", "1 hour"), hamming_radius=2,
+        state_timeout_ms=3_600_000)
+    q = (out.writeStream.format("memory").queryName("dedup_stream_tmo")
+         .outputMode("append").trigger(availableNow=True).start())
+    # a ProcessingTimeTimeout query never self-terminates (it stays
+    # alive to fire future timeouts), so poll the sink then stop it
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("select * from dedup_stream_tmo").count() >= 4:
+            break
+        time.sleep(1)
+    assert q.exception() is None
+    got = {r["image_id"]: r["is_new"]
+           for r in spark.sql("select * from dedup_stream_tmo").collect()}
+    q.stop()
+    assert got == {"img-a": True, "img-b": True,
+                   "img-a2": False, "img-c": True}
