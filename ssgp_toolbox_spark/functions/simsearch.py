@@ -200,21 +200,46 @@ def _argmin_cell(emb_col, centroids):
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
-def _assign_pandas_udf(centroids):
+def _ship_centroids(centroids, max_closure_cells: int):
+    """Centroid matrix as the task-side input for the Arrow kernels:
+    a plain closure capture (pickled into EVERY serialized task) up
+    to ``max_closure_cells``, a ``SparkContext.broadcast`` beyond —
+    shipped to each executor once over the torrent-style broadcast
+    channel instead of once per task. At the ~10^5-10^6 cells real
+    IVF wants at 10^12 rows, the (cells × dim) float64 matrix is
+    hundreds of MB: closure capture would re-ship it with every one
+    of ~10^5 tasks, broadcast ships it per executor. Same kernel,
+    same arithmetic either way (parity pinned in
+    tests/test_ann_recall.py)."""
+    import numpy as np
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)  # (k, d)
+    if len(centroids) <= max_closure_cells:
+        return C
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession().sparkContext.broadcast(C)
+
+
+def _resolve_centroids(shipped):
+    return shipped.value if hasattr(shipped, "value") else shipped
+
+
+def _assign_pandas_udf(shipped):
     """Arrow-vectorized argmin-cell kernel for LARGE centroid tables:
     one (batch × cells) distance matmul per Arrow batch against the
-    closure-captured centroid matrix. Rounds to 6dp with HALF_UP on
-    the non-negative distances (np.floor(d*1e6+0.5)/1e6) to match
-    Spark's ``F.round`` semantics, and breaks ties toward the lowest
-    cid (np.argmin first index) — the same (dist, cid) order as the
-    literal path; parity asserted in tests/test_ann_recall.py."""
+    closure-captured or broadcast centroid matrix (``_ship_centroids``).
+    Rounds to 6dp with HALF_UP on the non-negative distances
+    (np.floor(d*1e6+0.5)/1e6) to match Spark's ``F.round`` semantics,
+    and breaks ties toward the lowest cid (np.argmin first index) —
+    the same (dist, cid) order as the literal path; parity asserted
+    in tests/test_ann_recall.py."""
     import numpy as np
     import pandas as pd
 
-    C = np.ascontiguousarray(centroids, dtype=np.float64)  # (k, d)
-    c2 = (C * C).sum(axis=1)
-
     def kernel(emb):
+        C = _resolve_centroids(shipped)                    # (k, d)
+        c2 = (C * C).sum(axis=1)
         X = np.stack(emb.to_numpy())                       # (n, d)
         d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
         d2 = np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5) / 1e6
@@ -223,7 +248,7 @@ def _assign_pandas_udf(centroids):
     return F.pandas_udf(kernel, "int")
 
 
-def _probe_pandas_udf(centroids, n_probe: int):
+def _probe_pandas_udf(shipped, n_probe: int):
     """Arrow-vectorized n_probe-nearest-cells kernel (the query-side
     counterpart of ``_assign_pandas_udf`` for large centroid tables):
     same rounded distances, ranked by (dist, cid) via a stable
@@ -231,10 +256,9 @@ def _probe_pandas_udf(centroids, n_probe: int):
     import numpy as np
     import pandas as pd
 
-    C = np.ascontiguousarray(centroids, dtype=np.float64)
-    c2 = (C * C).sum(axis=1)
-
     def kernel(emb):
+        C = _resolve_centroids(shipped)
+        c2 = (C * C).sum(axis=1)
         X = np.stack(emb.to_numpy())
         d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
         d2 = np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5) / 1e6
@@ -246,7 +270,8 @@ def _probe_pandas_udf(centroids, n_probe: int):
 
 def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
                out_col: str = "cid",
-               max_literal_cells: int = 256) -> DataFrame:
+               max_literal_cells: int = 256,
+               max_closure_cells: int = 4096) -> DataFrame:
     """Corpus → cell assignment as a ZERO-SHUFFLE narrow projection:
     ``centroids`` is the driver-known list of (already 6dp-rounded)
     centroid vectors. No Exchange, no Window, no fan-out — at 10^12
@@ -255,19 +280,24 @@ def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
     per-vector row_number shuffle (round-3 VERDICT "What's wrong" #3).
     Plan shape is pinned by tests/test_plans_and_skew.py.
 
-    Two physical strategies, same logical map:
+    Three physical strategies, same logical map:
     - ``n_cells <= max_literal_cells``: centroids embed as 6dp plan
       LITERALS (codegen expressions, exactly how lsh_table_keys
       embeds planes) — the engine-portable path the s04 SQL oracle
       mirrors bit-for-bit.
-    - larger: a vectorized Arrow kernel — one (batch × cells) matmul
-      per batch against the captured centroid matrix, HALF_UP-rounded
-      to match F.round, first-index tie-break. Real IVF at 10^12 rows
+    - up to ``max_closure_cells``: a vectorized Arrow kernel — one
+      (batch × cells) matmul per batch against the closure-captured
+      centroid matrix, HALF_UP-rounded to match F.round, first-index
+      tie-break.
+    - beyond: the SAME Arrow kernel, but the centroid matrix ships
+      as a ``SparkContext.broadcast`` (once per executor) instead of
+      a closure capture (once per task). Real IVF at 10^12 rows
       wants ~sqrt(N) ≈ 10^5-10^6 cells, where a million-literal
-      Catalyst expression is impossible but a (10^6 × d) float matrix
-      is an ordinary broadcast-sized side input. (Beyond ~10^5 cells
-      ship the matrix as a SparkContext.broadcast instead of a
-      closure capture; same kernel.)
+      Catalyst expression is impossible and re-pickling a
+      hundreds-of-MB matrix into every task would dominate task
+      launch; as a broadcast it is an ordinary side input. Kernel
+      parity across the two shipping modes is pinned in
+      tests/test_ann_recall.py.
 
     Cross-strategy caveat: the two paths round via different
     floating-point routes (fold-summed (a-b)^2 + BigDecimal HALF_UP
@@ -280,13 +310,15 @@ def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
     if len(centroids) <= max_literal_cells:
         return vectors.withColumn(out_col,
                                   _argmin_cell(F.col(vec_col), centroids))
+    shipped = _ship_centroids(centroids, max_closure_cells)
     return vectors.withColumn(out_col,
-                              _assign_pandas_udf(centroids)(F.col(vec_col)))
+                              _assign_pandas_udf(shipped)(F.col(vec_col)))
 
 
 def ivf_probe_cells(queries: DataFrame, centroids: list, n_probe: int,
                     vec_col: str = "qe", out_col: str = "cid",
-                    max_literal_cells: int = 256) -> DataFrame:
+                    max_literal_cells: int = 256,
+                    max_closure_cells: int = 4096) -> DataFrame:
     """Each query row → its ``n_probe`` nearest cells, exploded.
     Narrow projection + explode, no window/shuffle; literal
     (dist, cid)-struct array_sort up to ``max_literal_cells``, the
@@ -301,7 +333,8 @@ def ivf_probe_cells(queries: DataFrame, centroids: list, n_probe: int,
         picked = F.slice(F.array_sort(probe_structs), 1, n_probe)
         return (queries.select("*", F.explode(picked).alias("_pc"))
                 .withColumn(out_col, F.col("_pc.cid")).drop("_pc"))
-    cells = _probe_pandas_udf(centroids, n_probe)(F.col(vec_col))
+    shipped = _ship_centroids(centroids, max_closure_cells)
+    cells = _probe_pandas_udf(shipped, n_probe)(F.col(vec_col))
     return (queries.select("*", F.explode(cells).alias(out_col)))
 
 

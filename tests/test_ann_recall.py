@@ -151,3 +151,43 @@ def test_ivf_topk_large_cells_end_to_end(spark, clustered):
         got.setdefault(r["qid"], []).append(r["nid"])
     assert all(len(v) == 5 for v in got.values()) and len(got) == 10
     assert _recall_at_k(exact, ann) >= 0.9
+
+
+def test_ivf_broadcast_matrix_matches_closure(spark):
+    """The >max_closure_cells strategy — centroid matrix shipped via
+    SparkContext.broadcast instead of closure capture — must be
+    bit-identical to the closure path at 2,000 cells (same Arrow
+    kernel, same HALF_UP rounding, same tie-break), and the plan must
+    stay Exchange/Window/Join-free: the shipping mode changes only
+    WHERE the matrix bytes travel, never the arithmetic."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    e = simsearch._normalize(simsearch._cast(emb).select(
+        F.col("vec_id").alias("nid"), F.col("emb")))
+    rng = np.random.default_rng(41)
+    cents = [[float(v) for v in row]
+             for row in (rng.standard_normal((2000, 64)) / 8).round(6)]
+    closure = {r["nid"]: r["cid"] for r in
+               simsearch.ivf_assign(e, cents, max_literal_cells=1,
+                                    max_closure_cells=100000).collect()}
+    bcast_df = simsearch.ivf_assign(e, cents, max_literal_cells=1,
+                                    max_closure_cells=64)
+    bcast = {r["nid"]: r["cid"] for r in bcast_df.collect()}
+    assert closure == bcast and len(closure) > 0
+    plan = bcast_df._jdf.queryExecution().toString()
+    for banned in ("Exchange", "Window", "Join", "CartesianProduct"):
+        assert banned not in plan, banned
+
+    q = e.select(F.col("nid").alias("qid"), F.col("emb").alias("qe")) \
+        .filter(F.col("qid") < 20)
+
+    def cells(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"], []).append(r["cid"])
+        return out
+
+    pc = cells(simsearch.ivf_probe_cells(q, cents, 6, max_literal_cells=1,
+                                         max_closure_cells=100000))
+    pb = cells(simsearch.ivf_probe_cells(q, cents, 6, max_literal_cells=1,
+                                         max_closure_cells=64))
+    assert pc == pb and all(len(v) == 6 for v in pc.values())
