@@ -31,6 +31,24 @@ SCRIPT_RANGES = {
     "ru": "[^Ѐ-ӿ]",   # Cyrillic
 }
 
+# characteristic character trigrams per language (the classic n-gram
+# LID evidence, Cavnar & Trenkle '94 style): counted by replace-strip
+# ((len(text) - len(replace(text, g))) / 3) — still pure Catalyst and
+# exactly SQL-mirrorable. These catch morphology the closed-class
+# marker words miss (a text can avoid every function word and still
+# scream 'eur'/'sch'/'ing'), so zero-marker documents stop falling
+# through to the alphabetical tie-break.
+LANG_TRIGRAMS = {
+    "en": [" th", "the", "ing", "and", " of"],
+    "es": [" de", "la ", "os ", "el ", "que"],
+    "fr": [" le", "les", "ent", "eur", "ais"],
+    "de": ["der", "ein", "ich", "sch", "und"],
+}
+
+# one marker-word (or script-block character) hit outweighs any
+# realistic trigram count; trigrams decide ties and marker-free text
+MARKER_WEIGHT = 100
+
 
 def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
@@ -54,11 +72,17 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Language ID: function-word marker hits for space-tokenized
-    languages + script-range character counts for zh/ru; deterministic
-    argmax (score desc, language name asc). Public-knowledge heuristic
-    (closed-class word lists + Unicode blocks), exactly reproducible
-    in SQL — the oracle builds from the same constants."""
+    """Language ID: per language, ``MARKER_WEIGHT`` × (function-word
+    marker hits, or script-block character count for zh/ru) + the
+    document's occurrence count of that language's characteristic
+    trigrams (``LANG_TRIGRAMS``); deterministic argmax (score desc,
+    language name asc). The trigram term upgrades the round-3 marker
+    scorer: marker-free text (no closed-class words at all) used to
+    fall through to the alphabetical tie-break, now the character
+    n-gram profile decides it. Public-knowledge heuristics
+    (closed-class word lists, Unicode blocks, Cavnar-&-Trenkle-style
+    character n-grams), all pure Catalyst and exactly reproducible in
+    SQL — the oracle builds from the same constants."""
     toks = _tokens()
 
     def marker_score(markers):
@@ -68,8 +92,21 @@ def lang_id(docs: DataFrame) -> DataFrame:
     def script_score(pattern):
         return F.length(F.regexp_replace(F.col("text"), pattern, ""))
 
-    score_exprs = {lang: marker_score(m) for lang, m in LANG_MARKERS.items()}
-    score_exprs.update({lang: script_score(p) for lang, p in SCRIPT_RANGES.items()})
+    def trigram_score(grams):
+        total = F.lit(0)
+        for g in grams:
+            total = total + ((F.length("text")
+                              - F.length(F.replace(F.col("text"), F.lit(g),
+                                                   F.lit(""))))
+                             / len(g)).cast("int")
+        return total
+
+    score_exprs = {
+        lang: marker_score(m) * MARKER_WEIGHT + trigram_score(LANG_TRIGRAMS[lang])
+        for lang, m in LANG_MARKERS.items()
+    }
+    score_exprs.update({lang: script_score(p) * MARKER_WEIGHT
+                        for lang, p in SCRIPT_RANGES.items()})
     scores = [score_exprs[lang].alias(f"score_{lang}")
               for lang in sorted(score_exprs)]
     scored = docs.select("doc_id", "lang", *scores)
@@ -84,7 +121,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return scored.select(
         "doc_id", "lang",
         best["l"].alias("predicted_lang"),
-        best["s"].cast("int").alias("marker_hits"),
+        best["s"].cast("int").alias("score"),
     )
 
 
