@@ -301,43 +301,100 @@ def write_geotiff_partitioned(images, out_dir: str, min_x: float,
     return images.select(*cols).mapInPandas(fn, schema)
 
 
-def write_netcdf_stacks_partitioned(images, out_dir: str):
-    """Distributed netCDF sink: one classic-CDF file per SITE, written
-    by the task holding that site's group (groupBy(site) →
-    applyInPandas — the site key is the shuffle key, so each file is
-    encoded exactly once, executor-side). Layers are stacked in
-    image_id order with their trailing timestamp labels
-    (reference timeseries.py:335-374 layout). Returns the manifest
-    (site, path, n_layers, n_bytes).
+def write_netcdf_stacks_partitioned(images, out_dir: str,
+                                    tile: int | None = None):
+    """Distributed netCDF sink: one classic-CDF file per SITE (or per
+    (site, tile) — see below), written by the task holding that
+    group (groupBy → applyInPandas — the group key is the shuffle
+    key, so each file is encoded exactly once, executor-side). Layers
+    are stacked in image_id order with their trailing timestamp
+    labels (reference timeseries.py:335-374 layout). Returns the
+    manifest (site, path, n_layers, n_bytes).
 
-    Memory bound: one task holds one site's FULL stack (layers × h ×
-    w float32) — inherent to the classic-CDF single-file layout,
-    which cannot be appended from multiple writers. For sites whose
-    stack exceeds task memory, key the group on (site, tile) via
-    tiling.py (one file per tile) or chunk the time axis into
-    per-epoch files; the GeoTIFF sink above has no such bound (one
-    raster per file)."""
+    Memory bound: with ``tile=None`` one task holds one site's FULL
+    stack (layers × h × w float32) — inherent to the classic-CDF
+    single-file layout, which cannot be appended from multiple
+    writers. ``tile=t`` keys the group on (site, tx, ty) via
+    tiling.py instead: each task holds only layers × t × t floats —
+    bounded by construction, independent of raster size — and each
+    tile lands in its own file ``<site>.t<tx>_<ty>.nc`` whose
+    manifest row carries (tx, ty, row0, col0) so readers can stitch
+    the full stack back (roundtrip pinned in tests/test_export.py).
+    The GeoTIFF sink above has no such bound (one raster per file)."""
     import os
 
     import pandas as pd
 
     from ssgp_toolbox_spark import codecs
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    if tile is None:
+        def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            os.makedirs(out_dir, exist_ok=True)
+            pdf = pdf.sort_values("image_id")
+            mats = [codecs.decode(b, int(h), int(w), f).astype(np.float32)
+                    for b, h, w, f in zip(pdf["bytes"], pdf["h"], pdf["w"],
+                                          pdf["fmt"])]
+            steps = [iid.split("/")[-1] for iid in pdf["image_id"]]
+            nc = encode_netcdf_stack(np.stack(mats), steps)
+            path = os.path.join(out_dir, _safe_name(str(key[0])) + ".nc")
+            tmp = _attempt_tmp(path)
+            with open(tmp, "wb") as f:
+                f.write(nc)
+            os.replace(tmp, path)
+            return pd.DataFrame([(key[0], path, len(mats), len(nc))],
+                                columns=["site", "path", "n_layers",
+                                         "n_bytes"])
+
+        return images.groupBy("site").applyInPandas(
+            fn, "site string, path string, n_layers int, n_bytes int")
+
+    from ssgp_toolbox_spark import tiling
+
+    tile_schema = ("site string, image_id string, tx int, ty int, "
+                   "row0 int, col0 int, th int, tw int, tile_bytes binary")
+
+    def explode(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                m = codecs.decode(row.bytes, int(row.h), int(row.w), row.fmt)
+                t = tiling.explode_tiles_pdf(row.image_id, m, tile, halo=0)
+                for r in t.itertuples(index=False):
+                    # float32 tile payload — the same cast the
+                    # whole-site file applies at encode time
+                    block = np.frombuffer(r.tile_bytes, dtype="<f8") \
+                        .reshape(r.ph, r.pw).astype("<f4")
+                    rows.append((row.site, row.image_id, r.tx, r.ty,
+                                 r.row0, r.col0, r.ph, r.pw,
+                                 block.tobytes()))
+            yield pd.DataFrame(rows, columns=[
+                "site", "image_id", "tx", "ty", "row0", "col0",
+                "th", "tw", "tile_bytes"])
+
+    def write_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
         os.makedirs(out_dir, exist_ok=True)
+        site, tx, ty = str(key[0]), int(key[1]), int(key[2])
         pdf = pdf.sort_values("image_id")
-        mats = [codecs.decode(b, int(h), int(w), f).astype(np.float32)
-                for b, h, w, f in zip(pdf["bytes"], pdf["h"], pdf["w"],
-                                      pdf["fmt"])]
+        th, tw = int(pdf["th"].iloc[0]), int(pdf["tw"].iloc[0])
+        mats = [np.frombuffer(b, dtype="<f4").reshape(th, tw)
+                for b in pdf["tile_bytes"]]
         steps = [iid.split("/")[-1] for iid in pdf["image_id"]]
         nc = encode_netcdf_stack(np.stack(mats), steps)
-        path = os.path.join(out_dir, _safe_name(str(key[0])) + ".nc")
+        path = os.path.join(out_dir,
+                            _safe_name(site) + f".t{tx}_{ty}.nc")
         tmp = _attempt_tmp(path)
         with open(tmp, "wb") as f:
             f.write(nc)
         os.replace(tmp, path)
-        return pd.DataFrame([(key[0], path, len(mats), len(nc))],
-                            columns=["site", "path", "n_layers", "n_bytes"])
+        return pd.DataFrame([(site, tx, ty, int(pdf["row0"].iloc[0]),
+                              int(pdf["col0"].iloc[0]), path, len(mats),
+                              len(nc))],
+                            columns=["site", "tx", "ty", "row0", "col0",
+                                     "path", "n_layers", "n_bytes"])
 
-    return images.groupBy("site").applyInPandas(
-        fn, "site string, path string, n_layers int, n_bytes int")
+    cols = ["site", "image_id", "bytes", "w", "h", "fmt"]
+    tiles = images.select(*cols).mapInPandas(explode, tile_schema)
+    return tiles.groupBy("site", "tx", "ty").applyInPandas(
+        write_tile,
+        "site string, tx int, ty int, row0 int, col0 int, "
+        "path string, n_layers int, n_bytes int")

@@ -138,3 +138,40 @@ def test_partitioned_sink_manifest_matches_disk_and_names_injective(spark, tmp_p
             back, _tags = export.parse_geotiff(f.read())
         assert codecs.phash64(back.astype(np.float64)) == r["phash"], \
             r["image_id"]
+
+
+def test_netcdf_tiled_sink_splits_and_reassembles(spark, tmp_path):
+    """(site, tile)-keyed variant (round-4 VERDICT #7): a site whose
+    stack exceeds the per-task budget splits into one file per tile
+    window — per-task memory is layers × tile² regardless of raster
+    size — and stitching every tile file back by its manifest
+    (row0, col0) reproduces the whole-site stack bit-for-bit."""
+    from ssgp_toolbox_spark import codecs, generator
+    from ssgp_toolbox_spark.io import images as img_io
+
+    out = str(tmp_path / "ncs_tiled")
+    imgs = img_io.with_id_parts(generator.images_df(
+        spark, sites=("stp",), n_history=3, n_inputs=0, shape=(30, 20))) \
+        .filter(F.col("role") == "history")
+    tile = 8  # 30x20 image, 8px tiles -> 4x3 = 12 files for the site
+    manifest = export.write_netcdf_stacks_partitioned(
+        imgs, out, tile=tile).collect()
+    assert len(manifest) == 12
+    assert all(r["n_layers"] == 3 for r in manifest)
+    # per-file payload bound: n_layers × tile² float32
+    assert all(r["n_bytes"] < 3 * tile * tile * 4 + 4096 for r in manifest)
+
+    rows = sorted(imgs.collect(), key=lambda r: r["image_id"])
+    h, w = rows[0]["h"], rows[0]["w"]
+    expect = np.stack([
+        codecs.decode(bytes(r["bytes"]), h, w, r["fmt"]).astype(np.float32)
+        for r in rows])
+    got = np.full_like(expect, np.nan)
+    for mrow in manifest:
+        with open(mrow["path"], "rb") as f:
+            tensor, steps = export.parse_netcdf_stack(f.read())
+        assert steps == [r["image_id"].split("/")[-1] for r in rows]
+        th, tw = tensor.shape[1], tensor.shape[2]
+        r0, c0 = mrow["row0"], mrow["col0"]
+        got[:, r0:r0 + th, c0:c0 + tw] = tensor
+    np.testing.assert_array_equal(got, expect)
