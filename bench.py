@@ -7,12 +7,23 @@ Two groups:
 - raster throughput: NN-fill and kNN-Biome gapfill over a
   deterministic synthetic image table (the north metric —
   gap-filled pixels/sec — is reported as extra keys).
+
+Noise handling (round-4 VERDICT #6): the host shows documented 2-3×
+contention swings, so every timed row runs ``SPARK_GRAFT_BENCH_REPEATS``
+times (default 3), INTERLEAVED — one full pass over all rows per
+repeat, so a contended window hits all rows of that repeat rather
+than all repeats of one row. ``queries`` carries the per-row MEDIAN
+(the driver-compatible scalar); ``runs`` carries
+{median, min, max} per row so round-over-round comparisons can see
+the spread without forensic A/B sessions. Throughputs are computed
+from the median time.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -141,15 +153,18 @@ def clustered_lsh(spark) -> dict:
     }
 
 
-def bench_rasters(spark, timings: dict) -> dict:
-    """Raster throughput on the synthetic image table (npy-f64).
-    Scale: 2 sites x (16 history + 4 inputs) at reference-like shapes
-    for gapfill; NN-fill additionally at 256x256."""
+def raster_measurables(spark, values: dict):
+    """(name, thunk) rows for the raster paths. Scale: 2 sites ×
+    (12 history + 8 inputs) at reference-like shapes; NN additionally
+    exercises the zero-shuffle plain path. Each thunk records its
+    pixel count in ``values`` (constant across repeats) so
+    throughput can be computed from the median time."""
     from pyspark.sql import functions as F
 
     from ssgp_toolbox_spark import generator
     from ssgp_toolbox_spark.io import images as img_io
-    from ssgp_toolbox_spark.operators import gapfill, nn_fill, stats
+    from ssgp_toolbox_spark.operators import (deep_gapfill, gapfill, nn_fill,
+                                              stats)
 
     imgs = stats.with_stats(img_io.with_id_parts(
         generator.images_df(spark, sites=("stp", "madrid"),
@@ -164,65 +179,57 @@ def bench_rasters(spark, timings: dict) -> dict:
                              params={"n_neighbors": 5}, chunk_px=1024) \
         .agg(F.sum("filled_px")).collect()
 
-    t0 = time.time()
-    out = gapfill.gapfill_balanced(imgs, predictor_configuration="Biome",
-                                   params={"n_neighbors": 5}, chunk_px=1024)
-    filled_px = out.agg(F.sum("filled_px")).collect()[0][0] or 0
-    dt = time.time() - t0
-    timings["gapfill_knn_biome"] = round(dt, 3)
-    extras = {"gapfill_px_per_sec": round(filled_px / dt, 1), "gapfill_px": int(filled_px)}
+    def run_gapfill():
+        out = gapfill.gapfill_balanced(imgs, predictor_configuration="Biome",
+                                       params={"n_neighbors": 5},
+                                       chunk_px=1024)
+        values["gapfill_px"] = out.agg(F.sum("filled_px")).collect()[0][0] or 0
 
-    # deep-history path: same fill, but no stacked history anywhere —
-    # the bounded-memory plan (operators/deep_gapfill.py). Reported so
-    # the depth-robust path's throughput cost vs the broadcast path is
-    # a measured number, not a guess.
-    from ssgp_toolbox_spark.operators import deep_gapfill
+    def run_deep():
+        # deep-history path: same fill, but no stacked history anywhere
+        # — the bounded-memory plan (operators/deep_gapfill.py),
+        # reported so the depth-robust path's throughput cost vs the
+        # broadcast path stays a measured number
+        dout = deep_gapfill.gapfill_deep(imgs, method="Knn",
+                                         predictor_configuration="Biome",
+                                         hyperparameters="Custom",
+                                         params={"n_neighbors": 5},
+                                         chunk_px=1024)
+        values["deep_px"] = dout.agg(F.sum("filled_px")).collect()[0][0] or 0
 
-    t0 = time.time()
-    dout = deep_gapfill.gapfill_deep(imgs, method="Knn",
-                                     predictor_configuration="Biome",
-                                     hyperparameters="Custom",
-                                     params={"n_neighbors": 5}, chunk_px=1024)
-    deep_px = dout.agg(F.sum("filled_px")).collect()[0][0] or 0
-    dt = time.time() - t0
-    timings["gapfill_deep"] = round(dt, 3)
-    extras["gapfill_deep_px_per_sec"] = round(deep_px / dt, 1)
+    def run_nn():
+        # plain zero-shuffle NN path: at this scale the chunked
+        # variant's two shuffles cost more than they save
+        nn_out = nn_fill.nn_fill(imgs.filter(F.col("role") == "input"))
+        values["nn_px"] = nn_out.agg(F.sum("filled_px")).collect()[0][0] or 0
 
-    # plain zero-shuffle NN path: at this scale the chunked variant's
-    # two shuffles cost more than they save (it exists for skew/scale)
-    t0 = time.time()
-    nn_out = nn_fill.nn_fill(imgs.filter(F.col("role") == "input"))
-    nn_px = nn_out.agg(F.sum("filled_px")).collect()[0][0] or 0
-    dt = time.time() - t0
-    timings["nn_fill"] = round(dt, 3)
-    extras["nn_px_per_sec"] = round(nn_px / dt, 1)
-    return extras
+    return [("gapfill_knn_biome", run_gapfill),
+            ("gapfill_deep", run_deep),
+            ("nn_fill", run_nn)]
 
 
-def bench_streaming(spark, qs, timings: dict) -> dict:
-    """Streaming paths (round-3 VERDICT 'Next round' #6): the r16-r18
-    contract queries timed end-to-end — each runs one availableNow
-    pass (source setup → micro-batch(es) → memory sink → collect), so
-    a state-size or throughput regression in applyInPandasWithState /
-    windowed min_by / the stream-static join becomes a visible bench
-    number. r16 additionally reports fill throughput (its 2-image
-    corpus crosses the full stream-static-join + kernel path)."""
+def streaming_measurables(qs, spark, values: dict):
+    """The r16-r18 contract queries timed end-to-end — each repeat is
+    a fresh availableNow pass (source setup → micro-batch(es) →
+    memory sink → collect), so a state-size or throughput regression
+    in applyInPandasWithState / windowed min_by / the stream-static
+    join stays a visible bench number."""
     from pyspark.sql import functions as F
 
-    extras = {}
-    t0 = time.time()
-    out = qs["r16_streaming_gapfill"](spark, SF_DIR)
-    px = out.agg(F.sum("filled_px")).collect()[0][0] or 0
-    dt = time.time() - t0
-    timings["r16_streaming_gapfill"] = round(dt, 3)
-    extras["streaming_gapfill_px_per_sec"] = round(px / dt, 1)
-    for name in ("r17_streaming_discretize", "r18_streaming_dedup"):
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        extras[f"{name.split('_', 1)[1]}_rows_per_sec"] = round(n / dt, 2)
-    return extras
+    def run_r16():
+        out = qs["r16_streaming_gapfill"](spark, SF_DIR)
+        values["r16_px"] = out.agg(F.sum("filled_px")).collect()[0][0] or 0
+
+    def make_counter(name, key):
+        def run():
+            values[key] = qs[name](spark, SF_DIR).count()
+        return run
+
+    return [("r16_streaming_gapfill", run_r16),
+            ("r17_streaming_discretize",
+             make_counter("r17_streaming_discretize", "r17_rows")),
+            ("r18_streaming_dedup",
+             make_counter("r18_streaming_dedup", "r18_rows"))]
 
 
 def main() -> None:
@@ -233,15 +240,45 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{CPUS}]")
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
-    extras = bench_rasters(spark, timings)
-    extras.update(bench_streaming(spark, qs, timings))
+    values: dict[str, int] = {}
+
+    def make_query_thunk(name):
+        def run():
+            n = qs[name](spark, SF_DIR).count()
+            assert n >= 0
+        return run
+
+    measurables = [(name, make_query_thunk(name)) for name in BENCH_QUERIES]
+    measurables += raster_measurables(spark, values)
+    measurables += streaming_measurables(qs, spark, values)
+
+    samples: dict[str, list[float]] = {name: [] for name, _ in measurables}
+    for _rep in range(REPEATS):
+        for name, thunk in measurables:
+            t0 = time.time()
+            thunk()
+            samples[name].append(time.time() - t0)
+
+    timings = {name: round(statistics.median(ts), 3)
+               for name, ts in samples.items()}
+    runs = {name: {"median": round(statistics.median(ts), 3),
+                   "min": round(min(ts), 3), "max": round(max(ts), 3)}
+            for name, ts in samples.items()}
+
+    extras = {
+        "gapfill_px": int(values["gapfill_px"]),
+        "gapfill_px_per_sec": round(
+            values["gapfill_px"] / timings["gapfill_knn_biome"], 1),
+        "gapfill_deep_px_per_sec": round(
+            values["deep_px"] / timings["gapfill_deep"], 1),
+        "nn_px_per_sec": round(values["nn_px"] / timings["nn_fill"], 1),
+        "streaming_gapfill_px_per_sec": round(
+            values["r16_px"] / timings["r16_streaming_gapfill"], 1),
+        "streaming_discretize_rows_per_sec": round(
+            values["r17_rows"] / timings["r17_streaming_discretize"], 2),
+        "streaming_dedup_rows_per_sec": round(
+            values["r18_rows"] / timings["r18_streaming_dedup"], 2),
+    }
     extras.update(lsh_recall(spark, qs))
     extras.update(clustered_lsh(spark))
     total = round(sum(timings.values()), 3)
@@ -251,6 +288,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "repeats": REPEATS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extras,
         "cpus": int(CPUS),
