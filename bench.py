@@ -232,6 +232,35 @@ def streaming_measurables(qs, spark, values: dict):
              make_counter("r18_streaming_dedup", "r18_rows"))]
 
 
+def dedup_state_micro() -> dict:
+    """Streaming-dedup state kernel micro-bench (no Spark): 100k
+    random hashes at radius=4 through BandedSeen — the per-row state
+    cost isolated from micro-batch machinery, since at sf0.1 the r18
+    row is dominated by availableNow setup. The pre-round-5 kernel
+    (linear scan + np.append + 64-iteration popcount loop) measures
+    ~1.8k hashes/s at only 5k state and degrades linearly; the banded
+    index holds ~25k/s flat. candidate_frac is the fraction of
+    brute-force comparisons the pigeonhole actually touched."""
+    import numpy as np
+
+    from ssgp_toolbox_spark.streaming.dedup_stream import BandedSeen
+
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(-(2 ** 63), 2 ** 63, size=100_000, dtype=np.int64)
+    seen = BandedSeen(4)
+    t0 = time.time()
+    for ph in hashes:
+        if not seen.is_dup(int(ph)):
+            seen.add(int(ph))
+    dt = time.time() - t0
+    brute_pairs = len(hashes) * (len(hashes) - 1) / 2
+    return {
+        "dedup_state_hashes_per_sec": round(len(hashes) / dt, 1),
+        "dedup_state_candidate_frac": round(
+            seen.candidates_examined / brute_pairs, 6),
+    }
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
     from ssgp_toolbox_spark.session import get_spark
@@ -281,6 +310,7 @@ def main() -> None:
     }
     extras.update(lsh_recall(spark, qs))
     extras.update(clustered_lsh(spark))
+    extras.update(dedup_state_micro())
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
