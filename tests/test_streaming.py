@@ -333,3 +333,44 @@ def test_stateful_phash_dedup_with_timeout_enabled(spark, tmp_path):
     q.stop()
     assert got == {"img-a": True, "img-b": True,
                    "img-a2": False, "img-c": True}
+
+
+def test_banded_seen_property_matches_bruteforce():
+    """Hypothesis property: for ANY hash stream (adversarial
+    duplicates, clustered bit patterns) and ANY radius 0..10, the
+    banded state index emits exactly the brute-force keep/drop
+    sequence and retains exactly the brute-force state."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ssgp_toolbox_spark.streaming.dedup_stream import BandedSeen
+
+    i64 = st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1)
+    # bias toward collisions: small alphabet of base hashes + bit flips
+    def stream(draw):
+        base = draw(st.lists(i64, min_size=1, max_size=8))
+        out = []
+        for _ in range(draw(st.integers(0, 40))):
+            h = draw(st.sampled_from(base))
+            for _ in range(draw(st.integers(0, 3))):
+                h ^= 1 << draw(st.integers(0, 63))
+                h = ((h + 2 ** 63) % 2 ** 64) - 2 ** 63
+            out.append(h)
+        return out
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def check(data):
+        hashes = stream(data.draw)
+        radius = data.draw(st.integers(0, 10))
+        exp_flags, exp_kept = _brute_dedup(hashes, radius)
+        seen = BandedSeen(radius)
+        got = []
+        for ph in hashes:
+            dup = seen.is_dup(ph)
+            got.append(not dup)
+            if not dup:
+                seen.add(ph)
+        assert got == exp_flags and seen.seen_list() == exp_kept
+
+    check()
