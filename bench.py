@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "d07_dedup_clusters_star",
     "s01_cosine_topk",
     "s03_lsh_topk",
+    "s05_ivf_pq_topk",
 ]
 
 
@@ -90,10 +91,15 @@ def lsh_recall(spark, qs) -> dict:
     for r in qs["s04_ivf_topk"](spark, SF_DIR).collect():
         if r["nid"] in brute.get(r["qid"], set()):
             ivf_hits += 1
+    pq_hits = 0
+    for r in qs["s05_ivf_pq_topk"](spark, SF_DIR).collect():
+        if r["nid"] in brute.get(r["qid"], set()):
+            pq_hits += 1
     return {
         "lsh_recall_at_5": round(hits / total, 4) if total else float("nan"),
         "lsh_candidate_frac": round(float(np.mean(fracs)), 4),
         "ivf_recall_at_5": round(ivf_hits / total, 4) if total else float("nan"),
+        "ivf_pq_recall_at_5": round(pq_hits / total, 4) if total else float("nan"),
     }
 
 

@@ -338,6 +338,45 @@ def ivf_probe_cells(queries: DataFrame, centroids: list, n_probe: int,
     return (queries.select("*", F.explode(cells).alias(out_col)))
 
 
+def _train_ivf_centroids(e: DataFrame, n_cells: int, lloyd_iters: int,
+                         train_stride: int) -> list:
+    """The coarse-quantizer training loop shared by ``ivf_topk`` and
+    ``ivf_pq_topk`` — extracted verbatim so the s04 oracle's
+    arithmetic is untouched. ``e``: normalized (nid, emb)."""
+    train = e.filter(F.col("nid") % train_stride == 0) \
+        if train_stride > 1 else e
+    # seeds: the n_cells lowest vec_ids regardless of id values
+    # (orderBy+limit = distributed TakeOrdered, no global sort
+    # shuffle); cid is their dense 0..n_cells-1 rank. Corpus must have
+    # >= n_cells rows or the index has fewer cells than requested.
+    # The values collected here (and after each update) are the
+    # Spark-computed 6dp-rounded doubles — embedding them back as
+    # literals reproduces the former broadcast-join arithmetic bit for
+    # bit, so the SQL oracle is unchanged.
+    wseed = Window.orderBy("nid")
+    seed_rows = (train.orderBy("nid").limit(n_cells)
+                 .select((F.row_number().over(wseed) - 1).cast("int").alias("cid"),
+                         F.col("emb").alias("cvec"))
+                 .collect())
+    cents = [list(r["cvec"]) for r in sorted(seed_rows, key=lambda r: r["cid"])]
+    for _ in range(lloyd_iters):
+        assign = ivf_assign(train, cents)
+        dims = assign.select("cid", F.posexplode("emb").alias("pos", "val"))
+        means = dims.groupBy("cid", "pos").agg(F.avg("val").alias("mv"))
+        new_rows = (means.groupBy("cid")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
+                    .select("cid", F.transform(F.col("pm"),
+                                               lambda s: F.round(s["mv"], 6))
+                            .alias("nvec"))
+                    .collect())
+        # empty-cell guard: a cell whose membership dropped to zero
+        # keeps its previous centroid, so the index never silently
+        # shrinks below n_cells
+        updated = {int(r["cid"]): list(r["nvec"]) for r in new_rows}
+        cents = [updated.get(cid, old) for cid, old in enumerate(cents)]
+    return cents
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 16, lloyd_iters: int = 2,
              n_probe: int = 4, train_stride: int = 1) -> DataFrame:
@@ -374,37 +413,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     s01."""
     e = _normalize(_cast(embeddings).select(
         F.col("vec_id").alias("nid"), F.col("emb")))
-    train = e.filter(F.col("nid") % train_stride == 0) \
-        if train_stride > 1 else e
-    # seeds: the n_cells lowest vec_ids regardless of id values
-    # (orderBy+limit = distributed TakeOrdered, no global sort
-    # shuffle); cid is their dense 0..n_cells-1 rank. Corpus must have
-    # >= n_cells rows or the index has fewer cells than requested.
-    # The values collected here (and after each update) are the
-    # Spark-computed 6dp-rounded doubles — embedding them back as
-    # literals reproduces the former broadcast-join arithmetic bit for
-    # bit, so the SQL oracle is unchanged.
-    wseed = Window.orderBy("nid")
-    seed_rows = (train.orderBy("nid").limit(n_cells)
-                 .select((F.row_number().over(wseed) - 1).cast("int").alias("cid"),
-                         F.col("emb").alias("cvec"))
-                 .collect())
-    cents = [list(r["cvec"]) for r in sorted(seed_rows, key=lambda r: r["cid"])]
-    for _ in range(lloyd_iters):
-        assign = ivf_assign(train, cents)
-        dims = assign.select("cid", F.posexplode("emb").alias("pos", "val"))
-        means = dims.groupBy("cid", "pos").agg(F.avg("val").alias("mv"))
-        new_rows = (means.groupBy("cid")
-                    .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
-                    .select("cid", F.transform(F.col("pm"),
-                                               lambda s: F.round(s["mv"], 6))
-                            .alias("nvec"))
-                    .collect())
-        # empty-cell guard: a cell whose membership dropped to zero
-        # keeps its previous centroid, so the index never silently
-        # shrinks below n_cells
-        updated = {int(r["cid"]): list(r["nvec"]) for r in new_rows}
-        cents = [updated.get(cid, old) for cid, old in enumerate(cents)]
+    cents = _train_ivf_centroids(e, n_cells, lloyd_iters, train_stride)
     # final assignment with the trained centroids: narrow projection
     index = ivf_assign(e, cents).select("nid", "cid", F.col("emb").alias("ne"))
 
@@ -421,5 +430,249 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                       F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("sim")))
     wr = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (scored.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "sim", "rank"))
+
+
+# ----------------------------------------------------------- IVF-PQ
+
+def _pq_train_codebooks(residuals, m: int, ks: int, iters: int = 10):
+    """Per-subspace Lloyd over residuals (numpy, driver-side): the
+    (dim) space splits into ``m`` equal subspaces, each learns ``ks``
+    codewords. Deterministic: codewords seed from the first ``ks``
+    rows in input order, argmin ties break to the lowest codeword,
+    empty codewords keep their previous value. Returns an
+    (m, ks, dim//m) float64 array rounded to 6dp."""
+    import numpy as np
+
+    n, dim = residuals.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        sub = residuals[:, j * dsub:(j + 1) * dsub]
+        if n < ks:
+            raise ValueError(f"PQ training needs >= ks={ks} rows, got {n}")
+        cb = sub[:ks].copy()
+        for _ in range(iters):
+            d2 = ((sub * sub).sum(1)[:, None] - 2.0 * (sub @ cb.T)
+                  + (cb * cb).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            for c in range(ks):
+                mask = a == c
+                if mask.any():
+                    cb[c] = sub[mask].mean(axis=0)
+        books[j] = cb
+    return books.round(6)
+
+
+def _pq_assign_cells(X, C):
+    """numpy twin of the Arrow assignment kernel — same expanded
+    quadratic form, same HALF_UP 6dp rounding, same first-index
+    tie-break — so driver-side codebook training sees the identical
+    cell memberships the executor-side encoder produces."""
+    import numpy as np
+
+    c2 = (C * C).sum(axis=1)
+    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+    d2 = np.floor(np.maximum(d2, 0.0) * 1e6 + 0.5) / 1e6
+    return np.argmin(d2, axis=1)
+
+
+def _pq_encode_udf(shipped):
+    """Arrow kernel: vector → (cid, m PQ codes of its residual) in one
+    narrow projection. ``shipped``: (centroid matrix, codebooks),
+    closure-captured or broadcast (``_ship_centroids`` semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(emb):
+        C, books = _resolve_centroids(shipped)
+        m, ks, dsub = books.shape
+        X = np.stack(emb.to_numpy())
+        cid = _pq_assign_cells(X, C)
+        R = X - C[cid]
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = R[:, j * dsub:(j + 1) * dsub]
+            cb = books[j]
+            d2 = ((sub * sub).sum(1)[:, None] - 2.0 * (sub @ cb.T)
+                  + (cb * cb).sum(1)[None, :])
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cid": cid.astype("int32"),
+                             "codes": [row.tolist() for row in codes]})
+
+    return F.pandas_udf(kernel, "struct<cid:int, codes:array<int>>")
+
+
+def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                n_cells: int = 16, lloyd_iters: int = 2, n_probe: int = 4,
+                m: int = 8, pq_ks: int = 16, rerank: int = 32,
+                train_stride: int = 1, train_cap: int = 100_000,
+                max_closure_cells: int = 4096) -> DataFrame:
+    """IVF + residual product quantization — the MEMORY-side scale
+    path the plain ``ivf_topk`` lacks. At 10^12 × 64-d float32 the
+    raw index is ~256 TB; with m=8 subspaces × 16 codewords the
+    scanned representation is 8 small ints (8 B packed) per vector —
+    a ~32× shrink — so a probed cell's scan is arithmetic over code
+    tables instead of full vectors, and only the ``rerank`` ADC
+    survivors per (query, cell) are ever rescored exactly.
+
+    Stages (shuffle audit):
+    1. coarse quantizer: ``_train_ivf_centroids`` — identical
+       training (and literals) to ``ivf_topk``.
+    2. PQ codebooks: per-subspace Lloyd over the residuals of a
+       deterministic driver-side sample (``train_stride`` /
+       ``train_cap`` bound it — constant-size state, standard PQ
+       practice; codebooks are (m × ks × dim/m) doubles, shipped
+       with the centroids via closure or broadcast).
+    3. encode: ONE narrow Arrow projection over the corpus →
+       (nid, cid, codes). No shuffle.
+    4. search: queries probe ``n_probe`` cells (narrow projection);
+       ONE cogroup-by-cell shuffle joins query probes with the
+       cell's codes; per cell each query builds its (m × ks) ADC
+       table once and scores every member with one fancy-index sum —
+       emitting only its ``rerank`` best (adc asc, nid) candidates.
+    5. exact rerank: candidates join the raw vectors (shuffle
+       bounded by n_probe × rerank rows per query), exact cosine,
+       final top-k — same (sim desc, nid) ranking contract as every
+       other ANN here.
+
+    Recall is gated in tests/test_ann_recall.py. The s05 contract
+    query IS fully oracled: the candidate selection comes from the
+    naive per-row transcription (tests/oracles.ivf_pq_pairs_oracle →
+    fixtures/s05_pairs.parquet), sim+rank recomputed in DuckDB.
+
+    One-shot composition of ``ivf_pq_build`` + ``ivf_pq_search`` —
+    at 10^12 rows you build (and persist, e.g. parquet partitioned
+    by cid) ONCE and search many times; the split API is the scale
+    surface, this wrapper is the contract-query convenience."""
+    index, model = ivf_pq_build(
+        embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters, m=m,
+        pq_ks=pq_ks, train_stride=train_stride, train_cap=train_cap,
+        max_closure_cells=max_closure_cells)
+    return ivf_pq_search(index, embeddings, queries, model, k=k,
+                         n_probe=n_probe, rerank=rerank)
+
+
+def ivf_pq_build(embeddings: DataFrame, n_cells: int = 16,
+                 lloyd_iters: int = 2, m: int = 8, pq_ks: int = 16,
+                 train_stride: int = 1, train_cap: int = 100_000,
+                 max_closure_cells: int = 4096):
+    """Train the coarse quantizer + PQ codebooks and encode the
+    corpus. Returns ``(index, model)``:
+
+    - ``index``: DataFrame (nid, cid, codes) — the PQ-compressed
+      searchable representation, produced by one narrow Arrow
+      projection (plan pinned Exchange/Window/Join-free in
+      tests/test_plans_and_skew.py). Persist it partitioned by
+      ``cid`` (parquet/bucketed table) to amortize the build across
+      query batches; a parquet roundtrip is search-equivalent
+      (tests/test_ann_recall.py).
+    - ``model``: dict with driver-side constants — 'cents' (the 6dp
+      centroid list, same literals ivf_topk trains), 'books' (the
+      (m, ks, dim/m) codebook array), 'max_closure_cells' (the
+      shipping-strategy threshold) — pickle-serializable alongside
+      the persisted index."""
+    import numpy as np
+
+    e = _normalize(_cast(embeddings).select(
+        F.col("vec_id").alias("nid"), F.col("emb")))
+    cents = _train_ivf_centroids(e, n_cells, lloyd_iters, train_stride)
+    C = np.ascontiguousarray(cents, dtype=np.float64)
+
+    sample_rows = (e.filter(F.col("nid") % train_stride == 0)
+                   if train_stride > 1 else e) \
+        .orderBy("nid").limit(train_cap).collect()
+    X = np.array([list(r["emb"]) for r in sample_rows], dtype=np.float64)
+    R = X - C[_pq_assign_cells(X, C)]
+    books = _pq_train_codebooks(R, m, pq_ks)
+    model = {"cents": cents, "books": books,
+             "max_closure_cells": max_closure_cells}
+
+    enc = _pq_encode_udf(_ship_model(model))(F.col("emb"))
+    index = e.select("nid", enc.alias("_e")) \
+        .select("nid", F.col("_e.cid").alias("cid"),
+                F.col("_e.codes").alias("codes"))
+    return index, model
+
+
+def _ship_model(model):
+    """(centroid matrix, codebooks) as the Arrow-kernel side input —
+    closure capture (pickled per task) up to max_closure_cells,
+    SparkContext.broadcast beyond, exactly the ``_ship_centroids``
+    tradeoff with the codebooks riding along."""
+    import numpy as np
+
+    payload = (np.ascontiguousarray(model["cents"], dtype=np.float64),
+               np.asarray(model["books"], dtype=np.float64))
+    if len(model["cents"]) <= model["max_closure_cells"]:
+        return payload
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession().sparkContext.broadcast(payload)
+
+
+def ivf_pq_search(index: DataFrame, vectors: DataFrame,
+                  queries: DataFrame, model: dict, k: int = 5,
+                  n_probe: int = 4, rerank: int = 32) -> DataFrame:
+    """Query a built (possibly parquet-roundtripped) PQ ``index``.
+    ``vectors`` is the raw (vec_id, embedding) table the exact rerank
+    fetches survivors from — at scale that read is a semi-join of
+    n_probe × rerank rows per query against the corpus, not a scan.
+    Stages 4-5 of the ``ivf_pq_topk`` shuffle audit."""
+    import numpy as np
+    import pandas as pd
+
+    cents = model["cents"]
+    shipped = _ship_model(model)
+    e = _normalize(_cast(vectors).select(
+        F.col("vec_id").alias("nid"), F.col("emb")))
+
+    q = _normalize(_cast(queries).select(F.col("vec_id").alias("qid"),
+                                         F.col("emb"))) \
+        .select("qid", F.col("emb").alias("qe"))
+    probes = ivf_probe_cells(q, cents, n_probe,
+                             max_closure_cells=model["max_closure_cells"]) \
+        .select("qid", "qe", "cid")
+
+    def adc_fn(key, probes_pdf: pd.DataFrame, index_pdf: pd.DataFrame) \
+            -> pd.DataFrame:
+        if len(probes_pdf) == 0 or len(index_pdf) == 0:
+            return pd.DataFrame(columns=["qid", "nid", "adc"])
+        Cm, bk = _resolve_centroids(shipped)
+        mm, kk, dsub = bk.shape
+        cid = int(key[0])
+        idx = index_pdf.sort_values("nid")
+        nids = idx["nid"].to_numpy()
+        codes = np.stack([np.asarray(c) for c in idx["codes"]])
+        out = []
+        for prow in probes_pdf.itertuples(index=False):
+            qres = np.asarray(prow.qe, dtype=np.float64) - Cm[cid]
+            # ADC table: squared L2 of each subspace residual vs each
+            # codeword; approx dist = sum of table entries at the codes
+            tables = np.empty((mm, kk))
+            for j in range(mm):
+                diff = qres[j * dsub:(j + 1) * dsub][None, :] - bk[j]
+                tables[j] = (diff * diff).sum(1)
+            adc = tables[np.arange(mm)[None, :], codes].sum(1)
+            keep = np.flatnonzero(nids != prow.qid)
+            order = keep[np.lexsort((nids[keep], adc[keep]))][:rerank]
+            out.append(pd.DataFrame({"qid": prow.qid, "nid": nids[order],
+                                     "adc": adc[order]}))
+        return pd.concat(out) if out else \
+            pd.DataFrame(columns=["qid", "nid", "adc"])
+
+    cands = probes.groupBy("cid").cogroup(index.groupBy("cid")) \
+        .applyInPandas(adc_fn, "qid long, nid long, adc double")
+
+    rescored = (cands.join(q, "qid")
+                .join(e.select(F.col("nid"), F.col("emb").alias("ne")), "nid")
+                .select("qid", "nid",
+                        F.round(_cosine(F.col("qe"), F.col("ne")), 6)
+                        .alias("sim")))
+    wr = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (rescored.withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k)
             .select("qid", "nid", "sim", "rank"))

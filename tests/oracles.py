@@ -780,3 +780,109 @@ def nn_fill_kv_oracle(m, gap, skip, nodata):
     out[m == skip] = skip
     out[m == nodata] = nodata
     return out, "filled"
+
+
+# ---------------------------------------------------------------- ANN
+
+def _r6(x):
+    """Spark F.round / DuckDB round parity: HALF_UP (away from zero)
+    at 6 decimals — the same floor(|x|*1e6+0.5) form the engine's
+    Arrow kernels use (simsearch._assign_pandas_udf), sign-extended
+    for the possibly-negative normalized components / cosines."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def ivf_pq_pairs_oracle(vec_ids, embeddings_f32, qids, k=5, n_cells=16,
+                        lloyd_iters=2, n_probe=4, m=8, pq_ks=16,
+                        rerank=32, pq_iters=10):
+    """Naive single-machine transcription of simsearch.ivf_pq_topk's
+    candidate SELECTION: which (qid, nid) pairs each query's final
+    top-k contains, in rank order. Per-row loops throughout — no
+    shared code with the engine. The sims themselves are NOT returned:
+    the s05 oracle recomputes them in DuckDB with the s01/s04-proven
+    cosine expression, so only the selection (robust under 6dp
+    rounding) crosses through this fixture.
+
+    Pipeline mirrored: f64 cast -> 6dp-normalize -> seeded Lloyd
+    (argmin of 6dp-rounded squared L2, (dist, cid) tie-break, empty
+    cell keeps previous centroid) -> residual PQ codebooks (per
+    subspace, unrounded argmin, first-index ties, empty codeword
+    keeps value, final 6dp round) -> corpus encode -> n_probe probe
+    -> per-cell ADC table scan keeping `rerank` by (adc, nid) ->
+    exact cosine rerank ranked (sim desc, nid)."""
+    order = np.argsort(np.asarray(vec_ids))
+    ids = np.asarray(vec_ids)[order]
+    X0 = np.asarray(embeddings_f32, dtype=np.float64)[order]
+    E = np.stack([_r6(row / np.sqrt(np.dot(row, row))) for row in X0])
+    n, dim = E.shape
+    dsub = dim // m
+
+    def assign(V, cents):
+        out = np.empty(len(V), dtype=int)
+        for i, v in enumerate(V):
+            d = _r6([np.dot(v - c, v - c) for c in cents])
+            out[i] = int(np.argmin(d))          # first index = lowest cid
+        return out
+
+    cents = [E[i].copy() for i in range(n_cells)]   # lowest-nid seeds
+    for _ in range(lloyd_iters):
+        a = assign(E, cents)
+        for cid in range(n_cells):
+            members = E[a == cid]
+            if len(members):
+                cents[cid] = _r6(members.mean(axis=0))
+    final_cid = assign(E, cents)
+    C = np.stack(cents)
+
+    # PQ codebooks over the residuals (train_cap covers the corpus
+    # at fixture scale; unrounded distances like _pq_train_codebooks)
+    R = E - C[final_cid]
+    books = np.empty((m, pq_ks, dsub))
+    for j in range(m):
+        sub = R[:, j * dsub:(j + 1) * dsub]
+        cb = sub[:pq_ks].copy()
+        for _ in range(pq_iters):
+            asg = np.empty(len(sub), dtype=int)
+            for i, v in enumerate(sub):
+                asg[i] = int(np.argmin([np.dot(v - c, v - c) for c in cb]))
+            for c in range(pq_ks):
+                mem = sub[asg == c]
+                if len(mem):
+                    cb[c] = mem.mean(axis=0)
+        books[j] = cb
+    books = books.round(6)
+
+    codes = np.empty((n, m), dtype=int)
+    for i in range(n):
+        for j in range(m):
+            sub = R[i, j * dsub:(j + 1) * dsub]
+            codes[i, j] = int(np.argmin(
+                [np.dot(sub - c, sub - c) for c in books[j]]))
+
+    pairs = []
+    for qid in sorted(qids):
+        qi = int(np.flatnonzero(ids == qid)[0])
+        qe = E[qi]
+        d = _r6([np.dot(qe - c, qe - c) for c in cents])
+        probe = np.lexsort((np.arange(n_cells), d))[:n_probe]
+        cand = []
+        for cid in probe:
+            qres = qe - C[cid]
+            tables = np.empty((m, pq_ks))
+            for j in range(m):
+                for c in range(pq_ks):
+                    diff = qres[j * dsub:(j + 1) * dsub] - books[j][c]
+                    tables[j][c] = np.dot(diff, diff)
+            mem = np.flatnonzero((final_cid == cid) & (ids != qid))
+            adc = np.array([tables[np.arange(m), codes[i]].sum()
+                            for i in mem])
+            keep = np.lexsort((ids[mem], adc))[:rerank]
+            cand.extend(int(i) for i in mem[keep])
+        sims = _r6([np.dot(qe, E[i])
+                    / (np.sqrt(np.dot(qe, qe)) * np.sqrt(np.dot(E[i], E[i])))
+                    for i in cand])
+        top = np.lexsort((ids[cand], -sims))[:k]
+        pairs.extend((int(qid), int(ids[cand[t]]), r + 1)
+                     for r, t in enumerate(top))
+    return pairs

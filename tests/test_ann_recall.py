@@ -191,3 +191,110 @@ def test_ivf_broadcast_matrix_matches_closure(spark):
     pb = cells(simsearch.ivf_probe_cells(q, cents, 6, max_literal_cells=1,
                                          max_closure_cells=64))
     assert pc == pb and all(len(v) == 6 for v in pc.values())
+
+
+def test_ivf_pq_full_rerank_equals_ivf(spark):
+    """With an unbounded rerank the PQ stage prunes nothing, so
+    ivf_pq_topk must reproduce ivf_topk BIT-FOR-BIT (same trained
+    cells, same probes, same exact-cosine ranking) — pinning the PQ
+    path to the SQL-oracled s04 semantics: ADC only ever narrows the
+    candidate set, never changes the arithmetic above it."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(tuple(r) for r in simsearch.ivf_topk(emb, q, k=5).collect())
+    b = sorted(tuple(r) for r in
+               simsearch.ivf_pq_topk(emb, q, k=5, rerank=10**6).collect())
+    assert a == b and len(a) == 50
+
+
+def test_ivf_pq_recall_harness(spark):
+    """Default config on the harness corpus: cell membership (~31)
+    sits under rerank=32, so ADC cannot truncate and recall must
+    match the ivf_topk gate."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = simsearch.cosine_topk(emb, q, k=5)
+    ann = simsearch.ivf_pq_topk(emb, q, k=5)
+    assert _recall_at_k(exact, ann) >= 0.9
+
+
+def test_ivf_pq_recall_clustered(spark, clustered):
+    """Tight clusters are PQ's hard case: in-cluster twins differ by
+    small residuals, so coarse codebooks blur the ADC ordering
+    (measured 0.66 at the m=8/ks=16/rerank=32 default). The
+    documented remedies both clear 0.9 — finer codebooks at the same
+    rerank, or the default codebook with a deeper rerank."""
+    df, q = clustered
+    exact = simsearch.cosine_topk(df, q, k=5)
+    fine = simsearch.ivf_pq_topk(df, q, k=5, m=16, pq_ks=64, rerank=32)
+    assert _recall_at_k(exact, fine) >= 0.9
+    deep = simsearch.ivf_pq_topk(df, q, k=5, m=8, pq_ks=16, rerank=128)
+    assert _recall_at_k(exact, deep) >= 0.9
+
+
+def test_ivf_pq_matches_naive_oracle(spark):
+    """Engine output == the per-row naive transcription
+    (oracles.ivf_pq_pairs_oracle) at the s05 config — the same
+    fixture-generation path scripts/make_ann_fixtures.py persists for
+    the DuckDB oracle, asserted here at sf0.001 so a drift in either
+    side fails pytest before the driver's gate sees it."""
+    import pyarrow.parquet as pq
+
+    import oracles
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vec_ids = t.column("vec_id").to_pylist()
+    pairs = oracles.ivf_pq_pairs_oracle(
+        vec_ids, t.column("embedding").to_pylist(),
+        [v for v in vec_ids if v < 10], k=5, n_cells=16, lloyd_iters=2,
+        n_probe=4, m=8, pq_ks=16, rerank=32)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eng = [(r["qid"], r["nid"], r["rank"]) for r in
+           simsearch.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                                 k=5, n_cells=16, lloyd_iters=2, n_probe=4,
+                                 m=8, pq_ks=16, rerank=32)
+           .orderBy("qid", "rank").collect()]
+    assert eng == pairs
+
+
+def test_s05_fixture_fresh():
+    """fixtures/s05_pairs.parquet must equal a fresh naive
+    recomputation over the driver's sf0.01 embeddings — catches a
+    stale fixture after a corpus or oracle change."""
+    import pyarrow.parquet as pq
+
+    import oracles
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    vec_ids = t.column("vec_id").to_pylist()
+    pairs = oracles.ivf_pq_pairs_oracle(
+        vec_ids, t.column("embedding").to_pylist(),
+        [v for v in vec_ids if v < 10], k=5, n_cells=16, lloyd_iters=2,
+        n_probe=4, m=8, pq_ks=16, rerank=32)
+    fix = pq.read_table("/root/repo/fixtures/s05_pairs.parquet")
+    stored = list(zip(fix.column("qid").to_pylist(),
+                      fix.column("nid").to_pylist()))
+    assert [(p[0], p[1]) for p in pairs] == stored
+
+
+def test_ivf_pq_index_parquet_roundtrip(spark, tmp_path):
+    """Build-once / query-many: the (nid, cid, codes) index written
+    to parquet partitioned by cid — the persistence layout that makes
+    a probe read only its cells at scale — must search identically to
+    the freshly-built index, and ivf_pq_topk must equal the explicit
+    build+search composition it wraps."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    index, model = simsearch.ivf_pq_build(emb)
+    direct = sorted(tuple(r) for r in
+                    simsearch.ivf_pq_search(index, emb, q, model).collect())
+    one_shot = sorted(tuple(r) for r in
+                      simsearch.ivf_pq_topk(emb, q).collect())
+    assert direct == one_shot and len(direct) == 50
+
+    path = str(tmp_path / "pq_index")
+    index.write.partitionBy("cid").parquet(path)
+    reloaded = spark.read.parquet(path)
+    again = sorted(tuple(r) for r in
+                   simsearch.ivf_pq_search(reloaded, emb, q, model).collect())
+    assert again == direct

@@ -141,3 +141,30 @@ def test_ivf_assignment_is_narrow(spark):
     plan = _plan(simsearch.ivf_assign(e, cents))
     for banned in ("Exchange", "Window", "Join", "CartesianProduct"):
         assert banned not in plan, banned
+
+
+def test_ivf_pq_encode_is_narrow(spark):
+    """The IVF-PQ corpus encoder (vector → cell id + m residual
+    codes, simsearch._pq_encode_udf) must stay a zero-shuffle narrow
+    Arrow projection, like the plain IVF assignment it extends: at
+    10^12 rows the encode pass is a map over the scan — the ONLY
+    shuffle ivf_pq_topk pays before the bounded rerank is the
+    by-cell cogroup."""
+    import numpy as np
+
+    from ssgp_toolbox_spark.functions import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = simsearch._normalize(simsearch._cast(emb).select(
+        F.col("vec_id").alias("nid"), F.col("emb")))
+    C = np.eye(16, 64)
+    books = np.zeros((8, 16, 8))
+    books[:, 1, :] = 0.5
+    enc = simsearch._pq_encode_udf((C, books))(F.col("emb"))
+    coded = e.select("nid", enc.alias("_e")) \
+        .select("nid", "_e.cid", "_e.codes")
+    plan = _plan(coded)
+    for banned in ("Exchange", "Window", "Join", "CartesianProduct"):
+        assert banned not in plan, banned
+    rows = coded.collect()
+    assert len(rows) == 500 and all(len(r["codes"]) == 8 for r in rows)
