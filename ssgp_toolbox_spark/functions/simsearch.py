@@ -167,6 +167,14 @@ def bucketed_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def _normalize(df: DataFrame, vec_col: str = "emb") -> DataFrame:
+    # NOTE(perf, measured): the higher-order fold costs ~40 µs/row/8
+    # cores at 64-d (interpreted per element). An unrolled 64-wide
+    # codegen variant measures 3.7× faster in isolation but Catalyst's
+    # project-collapse inlines the array expression into EVERY
+    # downstream reference (e.g. 16 literal centroid distances), which
+    # explodes the expression tree and OOMs codegen — keep the compact
+    # HOF form; normalize is a narrow per-row constant that amortizes
+    # at scale.
     norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x),
                               F.lit(0.0), lambda a, v: a + v))
     return df.withColumn(vec_col, F.transform(
@@ -480,10 +488,37 @@ def _pq_assign_cells(X, C):
     return np.argmin(d2, axis=1)
 
 
-def _pq_encode_udf(shipped):
+def _pq_pack_codes(codes):
+    """(n, m) int codes → (n,) int64, 8 bits per subspace (requires
+    ks <= 256, m <= 8). Accumulated in uint64 and REINTERPRETED as
+    int64 (two's complement), so codeword >=128 in the top subspace —
+    which lands in the sign bit — survives losslessly."""
+    import numpy as np
+
+    a = np.asarray(codes, dtype=np.uint64)
+    out = np.zeros(len(a), dtype=np.uint64)
+    for j in range(a.shape[1]):
+        out |= a[:, j] << np.uint64(8 * j)
+    return out.view(np.int64)
+
+
+def _pq_unpack_codes(packed, m):
+    """Inverse of ``_pq_pack_codes``: (n,) int64 → (n, m) int32 via
+    the uint64 view (logical, not arithmetic, shifts)."""
+    import numpy as np
+
+    u = np.ascontiguousarray(packed, dtype=np.int64).view(np.uint64)
+    cols = [((u >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.int32)
+            for j in range(m)]
+    return np.stack(cols, axis=1)
+
+
+def _pq_encode_udf(shipped, packed: bool = False):
     """Arrow kernel: vector → (cid, m PQ codes of its residual) in one
     narrow projection. ``shipped``: (centroid matrix, codebooks),
-    closure-captured or broadcast (``_ship_centroids`` semantics)."""
+    closure-captured or broadcast (``_ship_centroids`` semantics).
+    ``packed`` stores the codes as ONE int64 (8 bits/subspace)
+    instead of array<int> — the true 8-byte scan representation."""
     import numpy as np
     import pandas as pd
 
@@ -500,10 +535,15 @@ def _pq_encode_udf(shipped):
             d2 = ((sub * sub).sum(1)[:, None] - 2.0 * (sub @ cb.T)
                   + (cb * cb).sum(1)[None, :])
             codes[:, j] = np.argmin(d2, axis=1)
+        if packed:
+            return pd.DataFrame({"cid": cid.astype("int32"),
+                                 "codes": _pq_pack_codes(codes)})
         return pd.DataFrame({"cid": cid.astype("int32"),
                              "codes": [row.tolist() for row in codes]})
 
-    return F.pandas_udf(kernel, "struct<cid:int, codes:array<int>>")
+    rtype = ("struct<cid:int, codes:long>" if packed
+             else "struct<cid:int, codes:array<int>>")
+    return F.pandas_udf(kernel, rtype)
 
 
 def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -559,7 +599,7 @@ def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 def ivf_pq_build(embeddings: DataFrame, n_cells: int = 16,
                  lloyd_iters: int = 2, m: int = 8, pq_ks: int = 16,
                  train_stride: int = 1, train_cap: int = 100_000,
-                 max_closure_cells: int = 4096):
+                 max_closure_cells: int = 4096, packed: bool = False):
     """Train the coarse quantizer + PQ codebooks and encode the
     corpus. Returns ``(index, model)``:
 
@@ -573,9 +613,20 @@ def ivf_pq_build(embeddings: DataFrame, n_cells: int = 16,
     - ``model``: dict with driver-side constants — 'cents' (the 6dp
       centroid list, same literals ivf_topk trains), 'books' (the
       (m, ks, dim/m) codebook array), 'max_closure_cells' (the
-      shipping-strategy threshold) — pickle-serializable alongside
-      the persisted index."""
+      shipping-strategy threshold), 'packed' — pickle-serializable
+      alongside the persisted index.
+
+    ``packed=True`` stores the codes as ONE bigint (8 bits per
+    subspace; requires m <= 8 and pq_ks <= 256) instead of
+    array<int> — at 10^12 rows the array encoding costs ~4 B per
+    code plus per-element offsets, the packed long is the literal
+    8-byte representation the memory math quotes. Lossless:
+    search-equivalence gated in tests/test_ann_recall.py."""
     import numpy as np
+
+    if packed and (m > 8 or pq_ks > 256):
+        raise ValueError(
+            f"packed codes hold 8 subspaces x 8 bits: m={m}, ks={pq_ks}")
 
     e = _normalize(_cast(embeddings).select(
         F.col("vec_id").alias("nid"), F.col("emb")))
@@ -589,9 +640,9 @@ def ivf_pq_build(embeddings: DataFrame, n_cells: int = 16,
     R = X - C[_pq_assign_cells(X, C)]
     books = _pq_train_codebooks(R, m, pq_ks)
     model = {"cents": cents, "books": books,
-             "max_closure_cells": max_closure_cells}
+             "max_closure_cells": max_closure_cells, "packed": packed}
 
-    enc = _pq_encode_udf(_ship_model(model))(F.col("emb"))
+    enc = _pq_encode_udf(_ship_model(model), packed=packed)(F.col("emb"))
     index = e.select("nid", enc.alias("_e")) \
         .select("nid", F.col("_e.cid").alias("cid"),
                 F.col("_e.codes").alias("codes"))
@@ -646,7 +697,10 @@ def ivf_pq_search(index: DataFrame, vectors: DataFrame,
         cid = int(key[0])
         idx = index_pdf.sort_values("nid")
         nids = idx["nid"].to_numpy()
-        codes = np.stack([np.asarray(c) for c in idx["codes"]])
+        if model.get("packed"):
+            codes = _pq_unpack_codes(idx["codes"].to_numpy(), mm)
+        else:
+            codes = np.stack([np.asarray(c) for c in idx["codes"]])
         out = []
         for prow in probes_pdf.itertuples(index=False):
             qres = np.asarray(prow.qe, dtype=np.float64) - Cm[cid]

@@ -298,3 +298,48 @@ def test_ivf_pq_index_parquet_roundtrip(spark, tmp_path):
     again = sorted(tuple(r) for r in
                    simsearch.ivf_pq_search(reloaded, emb, q, model).collect())
     assert again == direct
+
+
+def test_ivf_pq_packed_codes_equivalent(spark, tmp_path):
+    """packed=True stores the m codes as ONE bigint (8 bits per
+    subspace — the true 8-byte-per-vector representation the scale
+    math quotes) instead of array<int>. Packing is lossless, so
+    search results must be bit-identical to the unpacked index,
+    through a parquet roundtrip, and the packed schema must actually
+    be a single long column."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    idx_u, model_u = simsearch.ivf_pq_build(emb)
+    base = sorted(tuple(r) for r in
+                  simsearch.ivf_pq_search(idx_u, emb, q, model_u).collect())
+    idx_p, model_p = simsearch.ivf_pq_build(emb, packed=True)
+    assert dict(idx_p.dtypes)["codes"] == "bigint"
+    packed = sorted(tuple(r) for r in
+                    simsearch.ivf_pq_search(idx_p, emb, q, model_p).collect())
+    assert packed == base and len(base) == 50
+
+    path = str(tmp_path / "pq_packed")
+    idx_p.write.partitionBy("cid").parquet(path)
+    again = sorted(tuple(r) for r in
+                   simsearch.ivf_pq_search(spark.read.parquet(path), emb, q,
+                                           model_p).collect())
+    assert again == base
+
+
+def test_ivf_pq_packed_high_codeword_roundtrip():
+    """Pack/unpack must survive codewords >= 128 in the TOP subspace,
+    where the 8th byte's high bit lands in the int64 sign bit — the
+    two's-complement reinterpret (uint64 view) keeps it lossless."""
+    import numpy as np
+
+    from ssgp_toolbox_spark.functions.simsearch import (_pq_pack_codes,
+                                                        _pq_unpack_codes)
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 256, size=(64, 8)).astype(np.int32)
+    codes[0] = [255] * 8
+    codes[1] = [0] * 8
+    packed = _pq_pack_codes(codes)
+    assert packed.dtype == np.int64 and packed[0] < 0
+    back = _pq_unpack_codes(packed, 8)
+    assert (back == codes).all()
