@@ -248,7 +248,9 @@ def streaming_measurables(qs, spark, values: dict):
             ("r17_streaming_discretize",
              make_counter("r17_streaming_discretize", "r17_rows")),
             ("r18_streaming_dedup",
-             make_counter("r18_streaming_dedup", "r18_rows"))]
+             make_counter("r18_streaming_dedup", "r18_rows")),
+            ("s06_streaming_ann_serve",
+             make_counter("s06_streaming_ann_serve", "s06_rows"))]
 
 
 def dedup_state_micro() -> dict:

@@ -1,0 +1,78 @@
+"""Streaming ANN serving — a static IVF-PQ index answering a stream
+of query vectors.
+
+The serving shape real pipelines use: the index is built (and
+persisted, parquet partitioned by ``cid``) ONCE by
+``simsearch.ivf_pq_build``; queries arrive as a stream and each
+micro-batch is answered with the full batch search against that
+static index via ``foreachBatch`` — per-query-batch model inference,
+the documented Structured Streaming pattern for operations (cogroup +
+per-group top-k) that have no incremental plan.
+
+Scale shape:
+- the per-batch cost is driven by the ARRIVING queries, not the
+  stream's history: probes are a narrow projection over the batch,
+  and with ``prune_cells=True`` the index side is prefiltered to the
+  batch's probed cells (a driver-known, <= batch_rows x n_probe
+  literal set) BEFORE the by-cell cogroup — against a
+  cid-partitioned parquet index this is partition pruning, so a
+  10-query batch against a 10^12-row index reads ~n_probe x 10 cells
+  instead of the full corpus;
+- results are append-only per batch (a query's top-k never depends
+  on other batches — the index is static), so any downstream sink
+  composes; batch boundaries cannot change results, which is exactly
+  the streaming==batch contract the s06 query pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ssgp_toolbox_spark.functions import simsearch
+
+
+def search_batch(queries: DataFrame, index: DataFrame, vectors: DataFrame,
+                 model: dict, k: int = 5, n_probe: int = 4,
+                 rerank: int = 32, prune_cells: bool = True) -> DataFrame:
+    """Answer ONE (micro-)batch of queries against the static index —
+    ``simsearch.ivf_pq_search`` plus the serving-side cell prefilter.
+
+    ``prune_cells``: collect the batch's probed cell ids (bounded by
+    batch_rows x n_probe, driver-tiny) and prefilter the index with a
+    literal isin — on a parquet index partitioned by ``cid`` Spark
+    turns this into partition pruning, so the cogroup only ever scans
+    the probed cells' files."""
+    if prune_cells:
+        q = simsearch._normalize(simsearch._cast(queries).select(
+            F.col("vec_id").alias("qid"), F.col("emb")))
+        probe_rows = simsearch.ivf_probe_cells(
+            q.select("qid", F.col("emb").alias("qe")), model["cents"],
+            n_probe, max_closure_cells=model["max_closure_cells"]) \
+            .select("cid").distinct().collect()
+        cells = sorted(int(r["cid"]) for r in probe_rows)
+        index = index.filter(F.col("cid").isin(cells))
+    return simsearch.ivf_pq_search(index, vectors, queries, model, k=k,
+                                   n_probe=n_probe, rerank=rerank)
+
+
+def streaming_ann_serve(query_stream: DataFrame, index: DataFrame,
+                        vectors: DataFrame, model: dict, sink,
+                        k: int = 5, n_probe: int = 4, rerank: int = 32,
+                        prune_cells: bool = True):
+    """writeStream handle serving ``query_stream`` against the static
+    index: each micro-batch runs ``search_batch`` and hands the
+    result DataFrame to ``sink(result_df, batch_id)`` (write to
+    parquet/kafka/memory — caller's choice). Start with
+    ``.trigger(...)`` / ``.start()`` as usual.
+
+    The query stream must carry (vec_id, embedding) like the
+    embeddings table. Empty batches are skipped."""
+    def _serve(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        sink(search_batch(batch_df, index, vectors, model, k=k,
+                          n_probe=n_probe, rerank=rerank,
+                          prune_cells=prune_cells), batch_id)
+
+    return query_stream.writeStream.foreachBatch(_serve)

@@ -374,3 +374,53 @@ def test_banded_seen_property_matches_bruteforce():
         assert got == exp_flags and seen.seen_list() == exp_kept
 
     check()
+
+
+def test_streaming_ann_serve_equals_batch(spark, tmp_path):
+    """Streaming ANN serving (simsearch_stream.streaming_ann_serve):
+    queries delivered in two micro-batches against a static IVF-PQ
+    index must produce exactly the batch ivf_pq_search result — the
+    index is built once from the corpus only, so batch boundaries
+    cannot change any query's top-k. Also pins the probed-cell
+    prefilter as result-neutral (it only drops cells no probe ever
+    cogroups with)."""
+    from ssgp_toolbox_spark.functions import simsearch
+    from ssgp_toolbox_spark.streaming import simsearch_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    index, model = simsearch.ivf_pq_build(emb)
+    batch = sorted(tuple(r) for r in
+                   simsearch.ivf_pq_search(index, emb, q, model).collect())
+
+    pruned = sorted(tuple(r) for r in simsearch_stream.search_batch(
+        q, index, emb, model, prune_cells=True).collect())
+    assert pruned == batch and len(batch) == 50
+
+    src = tmp_path / "s06_src"
+    out = tmp_path / "s06_out"
+    for b, cond in ((1, "vec_id < 5"), (2, "vec_id >= 5 AND vec_id < 10")):
+        drop = str(src / f"b{b}")
+        emb.filter(cond).coalesce(1).write.parquet(drop)
+        for root, _dirs, files in os.walk(drop):
+            for f in files:
+                os.utime(os.path.join(root, f),
+                         (1_700_000_000 + b * 60, 1_700_000_000 + b * 60))
+    stream = (spark.readStream.schema(emb.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    seen_batches = []
+
+    def sink(res, batch_id):
+        seen_batches.append(batch_id)
+        res.write.mode("append").parquet(str(out))
+
+    qh = (simsearch_stream.streaming_ann_serve(stream, index, emb, model,
+                                               sink)
+          .trigger(availableNow=True).start())
+    assert qh.awaitTermination(300), "serve query timed out"
+    assert qh.exception() is None, qh.exception()
+    assert len(seen_batches) == 2, seen_batches
+    streamed = sorted(tuple(r) for r in spark.read.parquet(str(out))
+                      .select("qid", "nid", "sim", "rank").collect())
+    assert streamed == batch
