@@ -284,10 +284,14 @@ def cluster_pairs(pairs: DataFrame, vertices: DataFrame | None = None,
 
     ``pairs``: (a, b) columns. ``vertices``: optional (id_col) frame —
     vertices with no edges become singleton clusters."""
+    # materialize the (usually expensive) candidate-pair pipeline ONCE:
+    # every propagation round joins `edges`, and without truncation the
+    # whole upstream DAG (e.g. the MinHash-LSH candidate generation)
+    # would be recomputed per round
     edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionByName(pairs.select(F.col("b").alias("src"),
                                        F.col("a").alias("dst")))
-             .distinct())
+             .distinct()).localCheckpoint(eager=True)
     if vertices is not None:
         verts = vertices.select(F.col(id_col).alias("id")).distinct()
     else:
@@ -363,8 +367,13 @@ def cluster_pairs_star(pairs: DataFrame, vertices: DataFrame | None = None,
 
     Each round is two groupBy-min + join shuffles over the current
     edge set; lineage is truncated per round (localCheckpoint)."""
+    # materialize the candidate-pair pipeline ONCE: round 1's
+    # large_star/small_star unions reference E four times, and digest
+    # once more — without truncation the upstream candidate generation
+    # (MinHash shingle → signature → band join) is recomputed each time
     E = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-         .filter(F.col("u") != F.col("v")).distinct())
+         .filter(F.col("u") != F.col("v")).distinct()) \
+        .localCheckpoint(eager=True)
     if vertices is not None:
         verts = vertices.select(F.col(id_col).alias("id")).distinct()
     else:

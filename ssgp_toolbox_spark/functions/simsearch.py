@@ -326,13 +326,19 @@ def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
 def ivf_probe_cells(queries: DataFrame, centroids: list, n_probe: int,
                     vec_col: str = "qe", out_col: str = "cid",
                     max_literal_cells: int = 256,
-                    max_closure_cells: int = 4096) -> DataFrame:
+                    max_closure_cells: int = 4096,
+                    shipped=None) -> DataFrame:
     """Each query row → its ``n_probe`` nearest cells, exploded.
     Narrow projection + explode, no window/shuffle; literal
     (dist, cid)-struct array_sort up to ``max_literal_cells``, the
     Arrow argsort kernel beyond (see ``ivf_assign`` for the
     strategy-switch rationale). The two paths rank identically
-    (parity-pinned in tests)."""
+    (parity-pinned in tests).
+
+    ``shipped``: an already-shipped centroid payload
+    (``_ship_centroids`` result) for long-running serving loops — a
+    new broadcast per call would otherwise leak executor memory over
+    a stream's lifetime."""
     if len(centroids) <= max_literal_cells:
         probe_structs = F.array(*[
             F.struct(_centroid_dist(F.col(vec_col), _lit_vec(v)).alias("dist"),
@@ -341,7 +347,8 @@ def ivf_probe_cells(queries: DataFrame, centroids: list, n_probe: int,
         picked = F.slice(F.array_sort(probe_structs), 1, n_probe)
         return (queries.select("*", F.explode(picked).alias("_pc"))
                 .withColumn(out_col, F.col("_pc.cid")).drop("_pc"))
-    shipped = _ship_centroids(centroids, max_closure_cells)
+    if shipped is None:
+        shipped = _ship_centroids(centroids, max_closure_cells)
     cells = _probe_pandas_udf(shipped, n_probe)(F.col(vec_col))
     return (queries.select("*", F.explode(cells).alias(out_col)))
 
@@ -367,15 +374,17 @@ def _train_ivf_centroids(e: DataFrame, n_cells: int, lloyd_iters: int,
                          F.col("emb").alias("cvec"))
                  .collect())
     cents = [list(r["cvec"]) for r in sorted(seed_rows, key=lambda r: r["cid"])]
+    dim = len(cents[0]) if cents else 0
     for _ in range(lloyd_iters):
         assign = ivf_assign(train, cents)
-        dims = assign.select("cid", F.posexplode("emb").alias("pos", "val"))
-        means = dims.groupBy("cid", "pos").agg(F.avg("val").alias("mv"))
-        new_rows = (means.groupBy("cid")
-                    .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
-                    .select("cid", F.transform(F.col("pm"),
-                                               lambda s: F.round(s["mv"], 6))
-                            .alias("nvec"))
+        # per-dimension means as ``dim`` scalar aggregates: map-side
+        # partial aggregation shuffles n_cells rows of dim doubles,
+        # instead of the former posexplode (N × dim rows through the
+        # exchange) + second groupBy/collect_list pass — same
+        # per-(cid, dim) mean, same F.round(.., 6) HALF_UP semantics
+        new_rows = (assign.groupBy("cid")
+                    .agg(F.array(*[F.round(F.avg(F.col("emb")[i]), 6)
+                                   for i in range(dim)]).alias("nvec"))
                     .collect())
         # empty-cell guard: a cell whose membership dropped to zero
         # keeps its previous centroid, so the index never silently
@@ -667,26 +676,38 @@ def _ship_model(model):
 
 def ivf_pq_search(index: DataFrame, vectors: DataFrame,
                   queries: DataFrame, model: dict, k: int = 5,
-                  n_probe: int = 4, rerank: int = 32) -> DataFrame:
+                  n_probe: int = 4, rerank: int = 32,
+                  probes: DataFrame | None = None,
+                  qnorm: DataFrame | None = None,
+                  shipped=None) -> DataFrame:
     """Query a built (possibly parquet-roundtripped) PQ ``index``.
     ``vectors`` is the raw (vec_id, embedding) table the exact rerank
     fetches survivors from — at scale that read is a semi-join of
     n_probe × rerank rows per query against the corpus, not a scan.
-    Stages 4-5 of the ``ivf_pq_topk`` shuffle audit."""
+    Stages 4-5 of the ``ivf_pq_topk`` shuffle audit.
+
+    Serving-loop hooks (``search_batch`` uses all three so a
+    micro-batch never normalizes/probes twice or re-ships the model):
+    ``probes`` — precomputed (qid, qe, cid) probe frame; ``qnorm`` —
+    precomputed normalized (qid, qe) queries; ``shipped`` — an
+    already-shipped ``_ship_model`` payload."""
     import numpy as np
     import pandas as pd
 
     cents = model["cents"]
-    shipped = _ship_model(model)
+    if shipped is None:
+        shipped = _ship_model(model)
     e = _normalize(_cast(vectors).select(
         F.col("vec_id").alias("nid"), F.col("emb")))
 
-    q = _normalize(_cast(queries).select(F.col("vec_id").alias("qid"),
+    q = qnorm if qnorm is not None else \
+        _normalize(_cast(queries).select(F.col("vec_id").alias("qid"),
                                          F.col("emb"))) \
         .select("qid", F.col("emb").alias("qe"))
-    probes = ivf_probe_cells(q, cents, n_probe,
-                             max_closure_cells=model["max_closure_cells"]) \
-        .select("qid", "qe", "cid")
+    if probes is None:
+        probes = ivf_probe_cells(q, cents, n_probe,
+                                 max_closure_cells=model["max_closure_cells"])
+    probes = probes.select("qid", "qe", "cid")
 
     def adc_fn(key, probes_pdf: pd.DataFrame, index_pdf: pd.DataFrame) \
             -> pd.DataFrame:

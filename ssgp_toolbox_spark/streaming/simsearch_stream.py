@@ -32,9 +32,26 @@ from pyspark.sql import functions as F
 from ssgp_toolbox_spark.functions import simsearch
 
 
+def prepare_serving(model: dict) -> dict:
+    """Ship the model payloads ONCE for a long-running serving loop.
+
+    Without this, every micro-batch re-runs ``_ship_model`` /
+    ``_ship_centroids``: beyond ``max_closure_cells`` that is up to
+    three NEW SparkContext broadcasts per batch, none unpersisted —
+    driver and executor memory then grow for the stream's lifetime.
+    Returns the handles ``search_batch`` threads through."""
+    cents = model["cents"]
+    shipped_cents = (
+        None if len(cents) <= 256
+        else simsearch._ship_centroids(cents, model["max_closure_cells"]))
+    return {"shipped": simsearch._ship_model(model),
+            "shipped_cents": shipped_cents}
+
+
 def search_batch(queries: DataFrame, index: DataFrame, vectors: DataFrame,
                  model: dict, k: int = 5, n_probe: int = 4,
-                 rerank: int = 32, prune_cells: bool = True) -> DataFrame:
+                 rerank: int = 32, prune_cells: bool = True,
+                 prepared: dict | None = None) -> DataFrame:
     """Answer ONE (micro-)batch of queries against the static index —
     ``simsearch.ivf_pq_search`` plus the serving-side cell prefilter.
 
@@ -42,18 +59,30 @@ def search_batch(queries: DataFrame, index: DataFrame, vectors: DataFrame,
     batch_rows x n_probe, driver-tiny) and prefilter the index with a
     literal isin — on a parquet index partitioned by ``cid`` Spark
     turns this into partition pruning, so the cogroup only ever scans
-    the probed cells' files."""
+    the probed cells' files.
+
+    The batch's queries are normalized and probed ONCE: the probe
+    frame feeds both the driver-side prefilter collect and the search
+    itself (``ivf_pq_search(probes=..., qnorm=...)``), instead of one
+    extra full Spark job per micro-batch. ``prepared``
+    (``prepare_serving``) reuses the shipped model payloads across
+    batches."""
+    prepared = prepared or prepare_serving(model)
+    q = simsearch._normalize(simsearch._cast(queries).select(
+        F.col("vec_id").alias("qid"), F.col("emb"))) \
+        .select("qid", F.col("emb").alias("qe"))
+    probes = simsearch.ivf_probe_cells(
+        q, model["cents"], n_probe,
+        max_closure_cells=model["max_closure_cells"],
+        shipped=prepared["shipped_cents"])
     if prune_cells:
-        q = simsearch._normalize(simsearch._cast(queries).select(
-            F.col("vec_id").alias("qid"), F.col("emb")))
-        probe_rows = simsearch.ivf_probe_cells(
-            q.select("qid", F.col("emb").alias("qe")), model["cents"],
-            n_probe, max_closure_cells=model["max_closure_cells"]) \
-            .select("cid").distinct().collect()
-        cells = sorted(int(r["cid"]) for r in probe_rows)
+        cells = sorted(int(r["cid"]) for r in
+                       probes.select("cid").distinct().collect())
         index = index.filter(F.col("cid").isin(cells))
     return simsearch.ivf_pq_search(index, vectors, queries, model, k=k,
-                                   n_probe=n_probe, rerank=rerank)
+                                   n_probe=n_probe, rerank=rerank,
+                                   probes=probes, qnorm=q,
+                                   shipped=prepared["shipped"])
 
 
 def streaming_ann_serve(query_stream: DataFrame, index: DataFrame,
@@ -66,13 +95,19 @@ def streaming_ann_serve(query_stream: DataFrame, index: DataFrame,
     parquet/kafka/memory — caller's choice). Start with
     ``.trigger(...)`` / ``.start()`` as usual.
 
+    The model payloads are shipped ONCE here (``prepare_serving``)
+    and reused by every micro-batch — no per-batch broadcast leak.
+
     The query stream must carry (vec_id, embedding) like the
     embeddings table. Empty batches are skipped."""
+    prepared = prepare_serving(model)
+
     def _serve(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
         sink(search_batch(batch_df, index, vectors, model, k=k,
                           n_probe=n_probe, rerank=rerank,
-                          prune_cells=prune_cells), batch_id)
+                          prune_cells=prune_cells, prepared=prepared),
+             batch_id)
 
     return query_stream.writeStream.foreachBatch(_serve)
