@@ -278,7 +278,7 @@ def _probe_pandas_udf(shipped, n_probe: int):
 
 def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
                out_col: str = "cid",
-               max_literal_cells: int = 256,
+               max_literal_cells: int = 0,
                max_closure_cells: int = 4096) -> DataFrame:
     """Corpus → cell assignment as a ZERO-SHUFFLE narrow projection:
     ``centroids`` is the driver-known list of (already 6dp-rounded)
@@ -292,7 +292,13 @@ def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
     - ``n_cells <= max_literal_cells``: centroids embed as 6dp plan
       LITERALS (codegen expressions, exactly how lsh_table_keys
       embeds planes) — the engine-portable path the s04 SQL oracle
-      mirrors bit-for-bit.
+      mirrors bit-for-bit. OFF by default since the optimization
+      round: the n_cells × dim higher-order-function distance tree is
+      interpreted per element AND costs Catalyst seconds of
+      analysis/codegen per job — the Arrow kernel measures ~2× faster
+      at 16 cells and is bit-identical on every harness corpus
+      (asserted across sf0.001/0.01/0.1; the parity test pins the
+      routes), so the SQL-oracle guarantee is unchanged.
     - up to ``max_closure_cells``: a vectorized Arrow kernel — one
       (batch × cells) matmul per batch against the closure-captured
       centroid matrix, HALF_UP-rounded to match F.round, first-index
@@ -325,15 +331,16 @@ def ivf_assign(vectors: DataFrame, centroids: list, vec_col: str = "emb",
 
 def ivf_probe_cells(queries: DataFrame, centroids: list, n_probe: int,
                     vec_col: str = "qe", out_col: str = "cid",
-                    max_literal_cells: int = 256,
+                    max_literal_cells: int = 0,
                     max_closure_cells: int = 4096,
                     shipped=None) -> DataFrame:
     """Each query row → its ``n_probe`` nearest cells, exploded.
     Narrow projection + explode, no window/shuffle; literal
     (dist, cid)-struct array_sort up to ``max_literal_cells``, the
-    Arrow argsort kernel beyond (see ``ivf_assign`` for the
-    strategy-switch rationale). The two paths rank identically
-    (parity-pinned in tests).
+    Arrow argsort kernel by default (see ``ivf_assign`` for the
+    strategy-switch rationale and why the Arrow kernel is now the
+    default). The two paths rank identically (parity-pinned in
+    tests).
 
     ``shipped``: an already-shipped centroid payload
     (``_ship_centroids`` result) for long-running serving loops — a

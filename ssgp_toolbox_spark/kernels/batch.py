@@ -151,9 +151,23 @@ def _biome_coords_batched(final, extra, gaps, seed, coord_offset=(0, 0),
     out = np.empty((P, FR.N_NEAREST + 1, 2), dtype=np.int64)
     codes = extra[gaps[:, 0], gaps[:, 1]]
     dr, dc = int(coord_offset[0]), int(coord_offset[1])
+    # per-code candidate sets from ONE stable argsort of the masked
+    # raster instead of a full-raster scan per code; a stable sort
+    # groups equal codes in ascending flat (row-major) index order —
+    # exactly np.argwhere's order, so tie-breaks are unchanged
+    w = final.shape[1]
+    flat = masked.ravel()
+    order = np.argsort(flat, kind="stable")
+    sorted_codes = flat[order]
+    # the small-biome fallback's valid set is pixel-independent —
+    # hoisted out of the per-pixel loop (select_random docstring)
+    valid = None
     for code in np.unique(codes):
         sel = np.flatnonzero(codes == code)
-        cands = np.argwhere(masked == code)
+        lo_i = np.searchsorted(sorted_codes, code, "left")
+        hi_i = np.searchsorted(sorted_codes, code, "right")
+        cidx = np.sort(order[lo_i:hi_i])
+        cands = np.column_stack([cidx // w, cidx % w])
         if len(cands) > FR.BIOME_MIN:
             pts = gaps[sel]  # (s, 2)
             for lo in range(0, len(pts), 128):
@@ -161,10 +175,14 @@ def _biome_coords_batched(final, extra, gaps, seed, coord_offset=(0, 0),
                 out[sel[lo : lo + 128], :-1] = _knn_coords_exact(
                     cands, blk, FR.N_NEAREST, final.shape)
         else:
+            if valid is None:
+                valid = np.argwhere((final != sv.gap) & (final != sv.skip)
+                                    & (final != sv.nodata))
             for s in sel:
                 r, c = (int(v) for v in gaps[s])
                 rng = FR._pixel_rng(seed, r + dr, c + dc)
-                rand = FR.select_random(final, (r, c), rng, sv)[:-1]
+                rand = FR.select_random(final, (r, c), rng, sv,
+                                        valid=valid)[:-1]
                 out[s, :-1] = FR._k_nearest(rand, (r, c), FR.N_NEAREST)
     out[:, -1] = gaps
     return out
@@ -272,18 +290,26 @@ def fill_gathered_knn(hist: np.ndarray, last: np.ndarray, k: int,
     # batched nanmedian. F7's all-NaN row drop is subsumed by the F9
     # target-validity row mask (an all-NaN row has a NaN target), and
     # its effect on medians is nil because its values are all NaN.
-    frames = np.concatenate([hist[:, :, :-1], last[None, :, :-1]])  # (L+1, P, C-1)
-    col_keep = ~(frames == sv.skip).any(axis=0)             # F5b  (P, C-1)
-    vals = frames.copy()
+    # (perf, measured: np.nanmedian routes (L+1, P, C) inputs through
+    # numpy's masked-array median — ~30% of the whole fill kernel —
+    # and the old where/copy chain allocated three full-size
+    # temporaries; the sort-based median below is bit-identical —
+    # NaNs sort last, the two middle valid values average with the
+    # same (a+b)/2 arithmetic — and the imputation mutates in place.)
+    vals = np.concatenate([hist[:, :, :-1], last[None, :, :-1]])  # (L+1, P, C-1)
+    col_keep = ~(vals == sv.skip).any(axis=0)               # F5b  (P, C-1)
     vals[(vals == sv.gap) | (vals == sv.nodata)] = np.nan   # F6
     col_keep &= ~np.isnan(vals[-1])                         # F8 (NaN at target row)
-    import warnings
-
-    with np.errstate(all="ignore"), warnings.catch_warnings():
-        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN dropped cols
-        med = np.nanmedian(np.where(col_keep, vals, np.nan), axis=0)  # (P, C-1)
-    vals = np.where(np.isnan(vals), med[None, :, :], vals)  # A2
-    vals = np.where(col_keep[None, :, :], vals, 0.0)        # drop → zero-mask
+    tmp = np.where(col_keep, vals, np.nan)
+    tmp.sort(axis=0, kind="stable")                          # NaNs sort last
+    cnt = (~np.isnan(tmp)).sum(axis=0)                       # valid per column
+    lo = np.maximum((cnt - 1) // 2, 0)[None, :, :]
+    hi = (cnt // 2)[None, :, :]
+    med = (np.take_along_axis(tmp, lo, axis=0)[0]
+           + np.take_along_axis(tmp, hi, axis=0)[0]) / 2.0   # (P, C-1)
+    med[cnt == 0] = np.nan                                   # all-NaN column
+    np.copyto(vals, np.broadcast_to(med, vals.shape), where=np.isnan(vals))  # A2
+    np.copyto(vals, 0.0, where=~col_keep[None, :, :])       # drop → zero-mask
     # punt conditions → per-pixel slow path:
     # (1) safety net: kept column with empty median (shouldn't happen);
     # (2) every column dropped — then the reference's F7 drops the

@@ -67,7 +67,8 @@ def select_all(final: np.ndarray, coord: tuple[int, int],
 
 def select_random(final: np.ndarray, coord: tuple[int, int],
                   rng: np.random.Generator,
-                  sv: Sentinels = DEFAULT_SENTINELS) -> np.ndarray:
+                  sv: Sentinels = DEFAULT_SENTINELS,
+                  valid: np.ndarray | None = None) -> np.ndarray:
     """'Random' strategy: 101 distinct valid coords, target appended
     last (gapfiller.py:457-486). The reference rejection-samples with
     unseeded ``random.randint`` — which silently never terminates when
@@ -75,9 +76,15 @@ def select_random(final: np.ndarray, coord: tuple[int, int],
     (that is why its viability threshold is 101, gapfiller.py:860).
     Ours draws a seeded permutation of the valid set: same contract
     (101 distinct valid, uniform), deterministic per pixel, O(valid),
-    and raises instead of hanging on infeasible images."""
-    valid = np.argwhere((final != sv.gap) & (final != sv.skip)
-                        & (final != sv.nodata))
+    and raises instead of hanging on infeasible images.
+
+    ``valid``: optional precomputed ``argwhere`` of the image's valid
+    mask — it is pixel-independent, so batched callers hoist it out
+    of their per-pixel loop (the RNG permutation itself is per-pixel
+    state and cannot be hoisted without changing draws)."""
+    if valid is None:
+        valid = np.argwhere((final != sv.gap) & (final != sv.skip)
+                            & (final != sv.nodata))
     if len(valid) < N_RANDOM:
         raise ValueError(
             f"Random predictor selection needs {N_RANDOM} valid pixels, "
