@@ -245,7 +245,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
 
     planes = simsearch.hyperplanes(bits_per_table * n_tables, seed=seed)
     emb = embeddings.withColumn("emb", F.col("embedding").cast("array<double>"))
-    keys = simsearch.lsh_table_keys(F.col("emb"), planes, bits_per_table, n_tables)
+    keys = simsearch.lsh_keys(F.col("emb"), planes, bits_per_table, n_tables)
     buck = emb.select(
         F.col("vec_id").alias("id"), F.col("emb"),
         F.posexplode(keys).alias("tbl", "bucket"))
@@ -259,7 +259,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         x.join(y, ["tbl", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
-                F.round(simsearch._cosine(F.col("x.emb"), F.col("y.emb")), 6)
+                simsearch._cosine6(F.col("x.emb"), F.col("y.emb"))
                  .alias("sim"))
         .distinct()  # a pair may collide in several tables
     )

@@ -33,6 +33,66 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+# ---- Arrow twins of the Catalyst higher-order-function arithmetic ----
+#
+# Catalyst HOFs (zip_with/aggregate/transform) are interpreted per
+# ELEMENT: the 64-d fold chains cost ~0.5-1 ms/row and dominate every
+# similarity query at any corpus size (measured: the s03 corpus key
+# projection alone was 1.2 s for 2 000 rows). The kernels below are
+# bit-identical replacements, not approximations:
+# - sums accumulate COLUMN BY COLUMN, i.e. the same left-to-right
+#   fold order as `aggregate(.., (acc, v) -> acc + v)` — no pairwise
+#   or BLAS reassociation, so every f64 intermediate matches;
+# - rounding uses copysign(floor(|x|·1e6 + 0.5), x)/1e6 — HALF_UP
+#   away from zero, `F.round(x, 6)` semantics for either sign.
+# Parity is asserted value-for-value on all harness corpora
+# (tests/test_ann_recall.py) and each call site is switchable back to
+# the Catalyst form (`ARROW_SIM`).
+
+ARROW_SIM = True
+
+
+def _seq_dot(X, Y):
+    """Fold-order dot product of row pairs: X, Y (n, d) → (n,)."""
+    import numpy as np
+
+    acc = np.zeros(len(X))
+    for j in range(X.shape[1]):
+        acc += X[:, j] * Y[:, j]
+    return acc
+
+
+def _round6_half_up(x):
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _cos6_udf():
+    """round(cosine, 6) over two array<double> columns — the Arrow
+    twin of F.round(_cosine(a, b), 6)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(a, b):
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        dot = _seq_dot(A, B)
+        na = np.sqrt(_seq_dot(A, A))
+        nb = np.sqrt(_seq_dot(B, B))
+        return pd.Series(_round6_half_up(dot / (na * nb)))
+
+    return F.pandas_udf(kernel, "double")
+
+
+def _cosine6(a, b):
+    """Rounded cosine similarity: Arrow kernel by default, Catalyst
+    HOF fold when ``ARROW_SIM`` is off — same values either way."""
+    if ARROW_SIM:
+        return _cos6_udf()(a, b)
+    return F.round(_cosine(a, b), 6)
+
+
 def _cast(df: DataFrame) -> DataFrame:
     # float32 → float64 once, so both engines do the arithmetic in f64
     return df.withColumn("emb", F.col("embedding").cast("array<double>"))
@@ -46,7 +106,7 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
     scored = (
         q.crossJoin(c)
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("sim"))
+        .select("qid", "nid", _cosine6(F.col("qe"), F.col("ne")).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -95,6 +155,40 @@ def lsh_table_keys(emb_col, planes, bits_per_table: int, n_tables: int):
     return F.array(*keys)
 
 
+def _lsh_keys_udf(planes, bits_per_table: int, n_tables: int):
+    """Arrow twin of ``lsh_table_keys`` (see the parity notes above
+    ``ARROW_SIM``): per-plane dots accumulate in the identical fold
+    order, signs and bit packing unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.ascontiguousarray(planes, dtype=np.float64)
+
+    def kernel(emb):
+        X = np.stack(emb.to_numpy())
+        keys = np.zeros((len(X), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            key = np.zeros(len(X), dtype=np.int64)
+            for j in range(bits_per_table):
+                h = P[t * bits_per_table + j]
+                acc = np.zeros(len(X))
+                for d in range(X.shape[1]):
+                    acc += X[:, d] * h[d]
+                key = key * 2 + (acc > 0)
+            keys[:, t] = key
+        return pd.Series([row.astype("int32").tolist() for row in keys])
+
+    return F.pandas_udf(kernel, "array<int>")
+
+
+def lsh_keys(emb_col, planes, bits_per_table: int, n_tables: int):
+    """Per-table LSH bucket keys — Arrow kernel by default, the
+    Catalyst expression when ``ARROW_SIM`` is off; identical keys."""
+    if ARROW_SIM:
+        return _lsh_keys_udf(planes, bits_per_table, n_tables)(emb_col)
+    return lsh_table_keys(emb_col, planes, bits_per_table, n_tables)
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              bits_per_table: int = 3, n_tables: int = 8,
              seed: int = 7) -> DataFrame:
@@ -114,7 +208,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     clustered real-world embeddings prune far harder at the same
     recall (raise bits_per_table as neighbor similarity rises)."""
     planes = hyperplanes(bits_per_table * n_tables, seed=seed)
-    keys = lambda col: lsh_table_keys(col, planes, bits_per_table, n_tables)
+    keys = lambda col: lsh_keys(col, planes, bits_per_table, n_tables)
     c = (_cast(embeddings)
          .select(F.col("vec_id").alias("nid"), F.col("emb").alias("ne"),
                  F.posexplode(keys(F.col("emb"))).alias("table", "bucket")))
@@ -125,7 +219,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         q.join(c, ["table", "bucket"])
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid",
-                F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("sim"))
+                _cosine6(F.col("qe"), F.col("ne")).alias("sim"))
         .distinct()  # a pair may collide in several tables
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
@@ -148,7 +242,7 @@ def bucketed_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     ``lsh_table_keys`` with one table so Spark and the SQL oracle
     share the exact hyperplane literals."""
     planes = hyperplanes(n_bits, seed=seed)
-    key = lambda col: F.element_at(lsh_table_keys(col, planes, n_bits, 1), 1)
+    key = lambda col: F.element_at(lsh_keys(col, planes, n_bits, 1), 1)
     q = _cast(queries).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qe"),
         key(F.col("emb")).alias("bucket"))
@@ -158,12 +252,27 @@ def bucketed_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     scored = (
         q.join(c, "bucket")
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("sim"))
+        .select("qid", "nid", _cosine6(F.col("qe"), F.col("ne")).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "nid", "sim", "rank"))
+
+
+def _norm_udf():
+    """Arrow twin of the normalize projection (see ``ARROW_SIM``):
+    fold-order squared-norm accumulation, per-element HALF_UP 6dp."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(emb):
+        X = np.stack(emb.to_numpy())
+        norm = np.sqrt(_seq_dot(X, X))
+        out = _round6_half_up(X / norm[:, None])
+        return pd.Series(list(out))
+
+    return F.pandas_udf(kernel, "array<double>")
 
 
 def _normalize(df: DataFrame, vec_col: str = "emb") -> DataFrame:
@@ -172,9 +281,11 @@ def _normalize(df: DataFrame, vec_col: str = "emb") -> DataFrame:
     # codegen variant measures 3.7× faster in isolation but Catalyst's
     # project-collapse inlines the array expression into EVERY
     # downstream reference (e.g. 16 literal centroid distances), which
-    # explodes the expression tree and OOMs codegen — keep the compact
-    # HOF form; normalize is a narrow per-row constant that amortizes
-    # at scale.
+    # explodes the expression tree and OOMs codegen — so the fast path
+    # is the Arrow kernel (``_norm_udf``), bit-identical by the
+    # ``ARROW_SIM`` construction and switchable back to the HOF form.
+    if ARROW_SIM:
+        return df.withColumn(vec_col, _norm_udf()(F.col(vec_col)))
     norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x),
                               F.lit(0.0), lambda a, v: a + v))
     return df.withColumn(vec_col, F.transform(
@@ -451,7 +562,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     scored = (probes.join(index, "cid")
               .filter(F.col("qid") != F.col("nid"))
               .select("qid", "nid",
-                      F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("sim")))
+                      _cosine6(F.col("qe"), F.col("ne")).alias("sim")))
     wr = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (scored.withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k)
@@ -752,8 +863,7 @@ def ivf_pq_search(index: DataFrame, vectors: DataFrame,
     rescored = (cands.join(q, "qid")
                 .join(e.select(F.col("nid"), F.col("emb").alias("ne")), "nid")
                 .select("qid", "nid",
-                        F.round(_cosine(F.col("qe"), F.col("ne")), 6)
-                        .alias("sim")))
+                        _cosine6(F.col("qe"), F.col("ne")).alias("sim")))
     wr = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (rescored.withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k)

@@ -343,3 +343,47 @@ def test_ivf_pq_packed_high_codeword_roundtrip():
     assert packed.dtype == np.int64 and packed[0] < 0
     back = _pq_unpack_codes(packed, 8)
     assert (back == codes).all()
+
+
+def test_arrow_sim_kernels_match_catalyst(spark):
+    """The ARROW_SIM kernels (_cos6_udf / _lsh_keys_udf / _norm_udf)
+    must be VALUE-identical to the Catalyst HOF forms they replace —
+    they claim fold-order arithmetic parity, not approximate parity.
+    Checked on the full harness corpus: every normalized component,
+    every pairwise rounded cosine of the first 40 vectors, and every
+    LSH table key."""
+    from ssgp_toolbox_spark.functions import simsearch as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def run(flag):
+        old = S.ARROW_SIM
+        S.ARROW_SIM = flag
+        try:
+            norm = {r["nid"]: list(r["emb"]) for r in S._normalize(
+                S._cast(emb).select(F.col("vec_id").alias("nid"),
+                                    F.col("emb"))).collect()}
+            planes = S.hyperplanes(24, seed=7)
+            keys = {r["vec_id"]: list(r["k"]) for r in S._cast(emb).select(
+                "vec_id", S.lsh_keys(F.col("emb"), planes, 3, 8)
+                .alias("k")).collect()}
+            sub = S._cast(emb).filter(F.col("vec_id") < 40)
+            a = sub.select(F.col("vec_id").alias("qid"),
+                           F.col("emb").alias("qe"))
+            b = sub.select(F.col("vec_id").alias("nid"),
+                           F.col("emb").alias("ne"))
+            sims = {(r["qid"], r["nid"]): r["sim"] for r in a.crossJoin(b)
+                    .select("qid", "nid",
+                            S._cosine6(F.col("qe"), F.col("ne"))
+                            .alias("sim")).collect()}
+            return norm, keys, sims
+        finally:
+            S.ARROW_SIM = old
+
+    n_a, k_a, s_a = run(True)
+    n_c, k_c, s_c = run(False)
+    assert k_a == k_c
+    assert s_a == s_c  # exact f64 equality, incl. the 6dp rounding
+    assert n_a.keys() == n_c.keys()
+    for nid in n_a:
+        assert n_a[nid] == n_c[nid], nid
