@@ -10,6 +10,7 @@ sandbox (override on a real cluster via spark-submit --conf).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -26,6 +27,35 @@ DEFAULT_CONFS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
+
+
+@contextmanager
+def stream_partitions(spark: SparkSession, n: int | None = None):
+    """Scale the SHUFFLE partitioning of a bounded streaming run to
+    its key cardinality instead of the session's scan parallelism.
+
+    A stateful streaming operator allocates one state-store instance
+    per shuffle partition per micro-batch (open + commit + checkpoint
+    file each); the session default (sized for relational scans) is
+    pure overhead when the stream has a handful of keys. The value is
+    a deployment knob, not a local constant: default
+    ``$SPARK_GRAFT_STREAM_PARTITIONS`` (8 — comfortably above the
+    contract streams' ≤2 sites); production streams keyed on many
+    sites raise it (the count is pinned into the checkpoint at the
+    first batch, so pick it for the stream's lifetime). Restores the
+    session conf afterwards — run the whole bounded stream (start +
+    awaitTermination) inside the ``with`` block, because stateful
+    planning reads the conf at the FIRST micro-batch, not at
+    ``writeStream`` definition time."""
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def get_spark(app_name: str = "ssgp-toolbox-spark", master: str | None = None,
