@@ -472,26 +472,35 @@ def ivf_probe_cells(queries: DataFrame, centroids: list, n_probe: int,
 
 
 def _train_ivf_centroids(e: DataFrame, n_cells: int, lloyd_iters: int,
-                         train_stride: int) -> list:
+                         train_stride: int, seed_cents: list | None = None) -> list:
     """The coarse-quantizer training loop shared by ``ivf_topk`` and
     ``ivf_pq_topk`` — extracted verbatim so the s04 oracle's
-    arithmetic is untouched. ``e``: normalized (nid, emb)."""
+    arithmetic is untouched. ``e``: normalized (nid, emb).
+
+    ``seed_cents``: the initial centroids when the caller already
+    holds them — ``ivf_pq_build`` derives them from its PQ training
+    sample (the same first-n_cells-by-nid rows), saving one Spark
+    job; None runs the seed collect here."""
     train = e.filter(F.col("nid") % train_stride == 0) \
         if train_stride > 1 else e
-    # seeds: the n_cells lowest vec_ids regardless of id values
-    # (orderBy+limit = distributed TakeOrdered, no global sort
-    # shuffle); cid is their dense 0..n_cells-1 rank. Corpus must have
-    # >= n_cells rows or the index has fewer cells than requested.
-    # The values collected here (and after each update) are the
-    # Spark-computed 6dp-rounded doubles — embedding them back as
-    # literals reproduces the former broadcast-join arithmetic bit for
-    # bit, so the SQL oracle is unchanged.
-    wseed = Window.orderBy("nid")
-    seed_rows = (train.orderBy("nid").limit(n_cells)
-                 .select((F.row_number().over(wseed) - 1).cast("int").alias("cid"),
-                         F.col("emb").alias("cvec"))
-                 .collect())
-    cents = [list(r["cvec"]) for r in sorted(seed_rows, key=lambda r: r["cid"])]
+    if seed_cents is not None:
+        cents = [list(v) for v in seed_cents]
+    else:
+        # seeds: the n_cells lowest vec_ids regardless of id values
+        # (orderBy+limit = distributed TakeOrdered, no global sort
+        # shuffle); cid is their dense 0..n_cells-1 rank. Corpus must
+        # have >= n_cells rows or the index has fewer cells than
+        # requested. The values collected here (and after each
+        # update) are the Spark-computed 6dp-rounded doubles —
+        # embedding them back as literals reproduces the former
+        # broadcast-join arithmetic bit for bit, so the SQL oracle is
+        # unchanged.
+        wseed = Window.orderBy("nid")
+        seed_rows = (train.orderBy("nid").limit(n_cells)
+                     .select((F.row_number().over(wseed) - 1).cast("int").alias("cid"),
+                             F.col("emb").alias("cvec"))
+                     .collect())
+        cents = [list(r["cvec"]) for r in sorted(seed_rows, key=lambda r: r["cid"])]
     dim = len(cents[0]) if cents else 0
     for _ in range(lloyd_iters):
         assign = ivf_assign(train, cents)
@@ -757,12 +766,20 @@ def ivf_pq_build(embeddings: DataFrame, n_cells: int = 16,
 
     e = _normalize(_cast(embeddings).select(
         F.col("vec_id").alias("nid"), F.col("emb")))
-    cents = _train_ivf_centroids(e, n_cells, lloyd_iters, train_stride)
-    C = np.ascontiguousarray(cents, dtype=np.float64)
-
+    # ONE collect feeds both the Lloyd seeds and the PQ training
+    # sample: the seeds are by definition the first n_cells rows (by
+    # nid) of the same ordered train set the sample takes its first
+    # train_cap rows from, so sample_rows[:n_cells] IS the seed set —
+    # the former separate TakeOrdered job was pure duplication.
     sample_rows = (e.filter(F.col("nid") % train_stride == 0)
                    if train_stride > 1 else e) \
         .orderBy("nid").limit(train_cap).collect()
+    seed_cents = ([list(r["emb"]) for r in sample_rows[:n_cells]]
+                  if train_cap >= n_cells else None)
+    cents = _train_ivf_centroids(e, n_cells, lloyd_iters, train_stride,
+                                 seed_cents=seed_cents)
+    C = np.ascontiguousarray(cents, dtype=np.float64)
+
     X = np.array([list(r["emb"]) for r in sample_rows], dtype=np.float64)
     R = X - C[_pq_assign_cells(X, C)]
     books = _pq_train_codebooks(R, m, pq_ks)

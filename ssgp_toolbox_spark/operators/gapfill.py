@@ -358,17 +358,34 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
     # millions of sites this one-shot broadcast is replaced by the
     # plain-join path of ``gapfill`` or a per-tile history table.
     import uuid
+    from concurrent.futures import ThreadPoolExecutor
 
     sc = images.sparkSession.sparkContext
-    hist_rows = pack_history(images.filter(F.col("role") == "history")).collect()
-    extra_rows = {}
-    if predictor_configuration == "Biome":
-        extra_rows = {
-            r["site"]: (bytes(r["extra_layer"]["bytes"]),
-                        int(r["extra_layer"]["h"]), int(r["extra_layer"]["w"]),
-                        r["extra_layer"]["fmt"])
-            for r in pack_extra(images.filter(F.col("role") == "extra")).collect()
-        }
+    # the three side-input collects are independent Spark jobs —
+    # submit them concurrently so the driver waits for the slowest
+    # one, not their sum (guide-standard driver-thread overlap)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_hist = pool.submit(
+            lambda: pack_history(
+                images.filter(F.col("role") == "history")).collect())
+        f_extra = (pool.submit(
+            lambda: pack_extra(
+                images.filter(F.col("role") == "extra")).collect())
+            if predictor_configuration == "Biome" else None)
+        f_inputs = pool.submit(
+            lambda: viable.select("image_id", "bytes", "h", "w",
+                                  "fmt").collect())
+        hist_rows = f_hist.result()
+        extra_rows = {}
+        if f_extra is not None:
+            extra_rows = {
+                r["site"]: (bytes(r["extra_layer"]["bytes"]),
+                            int(r["extra_layer"]["h"]),
+                            int(r["extra_layer"]["w"]),
+                            r["extra_layer"]["fmt"])
+                for r in f_extra.result()
+            }
+        input_rows = f_inputs.result()
     site_map = {}
     for r in hist_rows:
         layers = [(l["ts"], bytes(l["bytes"]), int(l["h"]), int(l["w"]), l["fmt"])
@@ -385,7 +402,7 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
     # materializing this one-shot variant's output.
     input_map = {
         r["image_id"]: (bytes(r["bytes"]), int(r["h"]), int(r["w"]), r["fmt"])
-        for r in viable.select("image_id", "bytes", "h", "w", "fmt").collect()
+        for r in input_rows
     }
     bc = sc.broadcast({"gen": uuid.uuid4().hex, "sites": site_map,
                        "inputs": input_map})

@@ -76,8 +76,11 @@ def search_batch(queries: DataFrame, index: DataFrame, vectors: DataFrame,
         max_closure_cells=model["max_closure_cells"],
         shipped=prepared["shipped_cents"])
     if prune_cells:
-        cells = sorted(int(r["cid"]) for r in
-                       probes.select("cid").distinct().collect())
+        # dedup driver-side: the probe rows are bounded by
+        # batch_rows × n_probe, so a distinct() exchange before the
+        # collect is a wasted shuffle stage per micro-batch
+        cells = sorted({int(r["cid"]) for r in
+                        probes.select("cid").collect()})
         index = index.filter(F.col("cid").isin(cells))
     return simsearch.ivf_pq_search(index, vectors, queries, model, k=k,
                                    n_probe=n_probe, rerank=rerank,
