@@ -246,7 +246,15 @@ def images_df(spark, sites=("stp",), n_history: int = 24, n_inputs: int = 3,
     for s in sites:
         rows.extend(site_rows(s, n_history, n_inputs, fmt, shape=shape,
                               jitter=jitter))
-    df = spark.createDataFrame(rows, schema)
+    # slice to the row count: the default createDataFrame slicing
+    # (defaultParallelism) leaves mostly-empty pickled-RDD partitions
+    # whose tasks still pay a Python-worker round trip on every
+    # evaluation of this frame; per-image parallelism is preserved
+    # (one row per slice) and callers that want more repartition.
+    n_slices = max(1, min(len(rows),
+                          spark.sparkContext.defaultParallelism))
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema)
     return df.repartition(num_partitions) if num_partitions else df
 
 

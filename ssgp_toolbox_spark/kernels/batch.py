@@ -314,8 +314,13 @@ def fill_gathered_knn(hist: np.ndarray, last: np.ndarray, k: int,
     # (1) safety net: kept column with empty median (shouldn't happen);
     # (2) every column dropped — then the reference's F7 drops the
     #     all-NaN *test row* itself and the frame's last row becomes a
-    #     history layer (test-row shift quirk, gapfiller.py:653-659);
-    #     only the sequential cleaner reproduces that cascade.
+    #     history layer (test-row shift quirk, gapfiller.py:653-659),
+    #     AFTER which F8 re-evaluates column validity at the SHIFTED
+    #     row and can re-admit predictors — only the sequential
+    #     cleaner reproduces that cascade (a batched zero-feature
+    #     shortcut was prototyped this round and found wrong exactly
+    #     here: on the harness corpus every such pixel's columns are
+    #     final-NODATA drops that survive the shifted F8).
     bad = (col_keep & np.isnan(med)).any(axis=1)
     bad |= ~col_keep.any(axis=1)
     fast = ~bad & ~skip_px
