@@ -291,7 +291,7 @@ def cluster_pairs(pairs: DataFrame, vertices: DataFrame | None = None,
     edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionByName(pairs.select(F.col("b").alias("src"),
                                        F.col("a").alias("dst")))
-             .distinct()).localCheckpoint(eager=True)
+             .distinct()).localCheckpoint(eager=False)
     if vertices is not None:
         verts = vertices.select(F.col(id_col).alias("id")).distinct()
     else:
@@ -321,7 +321,10 @@ def cluster_pairs(pairs: DataFrame, vertices: DataFrame | None = None,
         new_labels = (labels.join(neigh, "id", "left")
                       .select("id", F.least(F.col("label"),
                                             F.coalesce("nmin", F.col("label")))
-                              .alias("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=False))
+        # the digest action materializes the lazy checkpoint — one
+        # Spark job per round instead of checkpoint + digest
         new_digest = digest(new_labels)
         if new_digest == prev_digest:
             # digests agree → almost surely the fixpoint; confirm the
@@ -343,7 +346,7 @@ def cluster_pairs(pairs: DataFrame, vertices: DataFrame | None = None,
                 "component diameter exceeds max_iter — raise max_iter "
                 "(or use a large-star/small-star contraction for "
                 "extreme-diameter graphs)")
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("cluster_id"))
 
@@ -373,7 +376,7 @@ def cluster_pairs_star(pairs: DataFrame, vertices: DataFrame | None = None,
     # (MinHash shingle → signature → band join) is recomputed each time
     E = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
          .filter(F.col("u") != F.col("v")).distinct()) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     if vertices is not None:
         verts = vertices.select(F.col(id_col).alias("id")).distinct()
     else:
@@ -417,7 +420,7 @@ def cluster_pairs_star(pairs: DataFrame, vertices: DataFrame | None = None,
     rounds = 0
     prev_digest = digest(E)
     while True:
-        new = small_star(large_star(E)).localCheckpoint(eager=True)
+        new = small_star(large_star(E)).localCheckpoint(eager=False)
         new_digest = digest(new)
         if new_digest == prev_digest:
             # digests agree → almost surely the fixpoint; confirm the

@@ -776,11 +776,17 @@ def ivf_pq_build(embeddings: DataFrame, n_cells: int = 16,
         .orderBy("nid").limit(train_cap).collect()
     seed_cents = ([list(r["emb"]) for r in sample_rows[:n_cells]]
                   if train_cap >= n_cells else None)
+    X = np.array([list(r["emb"]) for r in sample_rows], dtype=np.float64)
+    # NOTE(perf, attempted & rejected): when the sample covers the
+    # whole train set the Lloyd rounds could run driver-side on X
+    # (two fewer Spark jobs) — but a per-cell np.mean (pairwise
+    # summation) landed on the other side of a 6dp HALF_UP boundary
+    # than Spark's aggregation order for one sf0.001 centroid
+    # component (0.028351 vs 0.028352), which would change declared
+    # query results. Means must keep coming from the engine route.
     cents = _train_ivf_centroids(e, n_cells, lloyd_iters, train_stride,
                                  seed_cents=seed_cents)
     C = np.ascontiguousarray(cents, dtype=np.float64)
-
-    X = np.array([list(r["emb"]) for r in sample_rows], dtype=np.float64)
     R = X - C[_pq_assign_cells(X, C)]
     books = _pq_train_codebooks(R, m, pq_ks)
     model = {"cents": cents, "books": books,
