@@ -509,9 +509,13 @@ def _train_ivf_centroids(e: DataFrame, n_cells: int, lloyd_iters: int,
         # instead of the former posexplode (N × dim rows through the
         # exchange) + second groupBy/collect_list pass — same
         # per-(cid, dim) mean, same F.round(.., 6) HALF_UP semantics
+        # one F.expr parse for the 64-lane mean array instead of ~5
+        # py4j round trips per lane (~0.3 s driver time per
+        # iteration); the parsed aggregate expressions are identical
+        mean_sql = ", ".join(f"round(avg(emb[{i}]), 6)"
+                             for i in range(dim))
         new_rows = (assign.groupBy("cid")
-                    .agg(F.array(*[F.round(F.avg(F.col("emb")[i]), 6)
-                                   for i in range(dim)]).alias("nvec"))
+                    .agg(F.expr(f"array({mean_sql}) AS nvec"))
                     .collect())
         # empty-cell guard: a cell whose membership dropped to zero
         # keeps its previous centroid, so the index never silently
@@ -853,7 +857,7 @@ def ivf_pq_search(index: DataFrame, vectors: DataFrame,
     def adc_fn(key, probes_pdf: pd.DataFrame, index_pdf: pd.DataFrame) \
             -> pd.DataFrame:
         if len(probes_pdf) == 0 or len(index_pdf) == 0:
-            return pd.DataFrame(columns=["qid", "nid", "adc"])
+            return pd.DataFrame(columns=["qid", "nid", "adc", "qe"])
         Cm, bk = _resolve_centroids(shipped)
         mm, kk, dsub = bk.shape
         cid = int(key[0])
@@ -875,15 +879,22 @@ def ivf_pq_search(index: DataFrame, vectors: DataFrame,
             adc = tables[np.arange(mm)[None, :], codes].sum(1)
             keep = np.flatnonzero(nids != prow.qid)
             order = keep[np.lexsort((nids[keep], adc[keep]))][:rerank]
+            # qe rides along (float64 Arrow roundtrip is bit-exact), so
+            # the rescore needs no join back to the query frame — one
+            # exchange less per search; the duplication is bounded by
+            # rerank rows per (query, cell)
+            qe_list = list(prow.qe)
             out.append(pd.DataFrame({"qid": prow.qid, "nid": nids[order],
-                                     "adc": adc[order]}))
+                                     "adc": adc[order],
+                                     "qe": [qe_list] * len(order)}))
         return pd.concat(out) if out else \
-            pd.DataFrame(columns=["qid", "nid", "adc"])
+            pd.DataFrame(columns=["qid", "nid", "adc", "qe"])
 
     cands = probes.groupBy("cid").cogroup(index.groupBy("cid")) \
-        .applyInPandas(adc_fn, "qid long, nid long, adc double")
+        .applyInPandas(adc_fn,
+                       "qid long, nid long, adc double, qe array<double>")
 
-    rescored = (cands.join(q, "qid")
+    rescored = (cands
                 .join(e.select(F.col("nid"), F.col("emb").alias("ne")), "nid")
                 .select("qid", "nid",
                         _cosine6(F.col("qe"), F.col("ne")).alias("sim")))
