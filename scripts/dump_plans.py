@@ -24,9 +24,10 @@ spark.conf.set("spark.sql.session.timeZone", "UTC")
 import __spark_entry__ as em  # noqa: E402
 
 qs = em.queries()
-NAMES = ["q01_pricing_summary", "q02_topk_revenue", "s01_cosine_topk",
-         "s02_bucketed_topk", "s03_lsh_topk", "s04_ivf_topk",
-         "s05_ivf_pq_topk", "d05_embedding_near_dups"]
+NAMES = ["q01_pricing_summary", "q02_topk_revenue", "q03_region_revenue",
+         "s01_cosine_topk", "s02_bucketed_topk", "s03_lsh_topk",
+         "s04_ivf_topk", "s05_ivf_pq_topk", "d03_minhash_lsh",
+         "d04_simhash", "d05_embedding_near_dups"]
 os.makedirs(OUT, exist_ok=True)
 for name in NAMES:
     df = qs[name](spark, SF)
