@@ -60,6 +60,64 @@ def _knn_predict(X_train, y_train, X_test, k: int, weights: str):
     return vals.mean(-1)
 
 
+def _knn_predict_direct(X_train, y_train, X_test, k: int, weights: str):
+    """Direct-form batched kNN: identical stacking of
+    ``regressors.KNNRegressor`` — distances via ``((a-b)**2).sum(-1)``
+    (NOT the expanded a²+b²−2ab matmul of ``_knn_predict``), so every
+    f64 distance, stable-argsort tie order, and weight is bit-identical
+    to the per-pixel estimator. Used by the slow-path batcher, where
+    parity with ``regressors.fit_predict`` is the contract.
+    X_train (p, n, c), y_train (p, n), X_test (p, t, c) → (p, t)."""
+    d2 = ((X_test[:, :, None, :] - X_train[:, None, :, :]) ** 2).sum(-1)
+    n = X_train.shape[1]
+    kk = min(k, n)
+    idx = np.argsort(d2, axis=-1, kind="stable")[..., :kk]  # (p, t, k)
+    vals = np.take_along_axis(y_train[:, None, :], idx, axis=-1)
+    if weights == "distance":
+        # same op chain as KNNRegressor.predict (no maximum() clamp:
+        # direct-form squares are never negative)
+        d = np.sqrt(np.take_along_axis(d2, idx, axis=-1))
+        exact = d < 1e-12
+        w = np.where(exact, 1.0, 1.0 / np.maximum(d, 1e-12))
+        any_exact = exact.any(axis=-1, keepdims=True)
+        w = np.where(any_exact & ~exact, 0.0, w)
+        return (vals * w).sum(-1) / w.sum(-1)
+    return vals.mean(-1)
+
+
+def _knn_slow_group(Xp, yp, xt, k: int, weights: str, seed: int):
+    """Batched slow path for one exact-(n, c) shape group of
+    ``clean_frame`` outputs: replicates ``regressors.fit_predict``
+    ('Knn'/'Custom') pixel-for-pixel — same folds (cv_seed depends
+    only on (image seed, n), so the whole group shares one fold set,
+    exactly the per-pixel behavior), same direct-form distances
+    (``_knn_predict_direct``), same no-CV fallback when n < 3.
+    Returns (pred (p,), |score| (p,))."""
+    p, n, c = Xp.shape
+    pred = _knn_predict_direct(Xp, yp, xt[:, None, :], k, weights)[:, 0]
+    if n < 3:
+        # cross_val_neg_mae raises n_splits → fit_predict.no_cv:
+        # score = train MAE of the full-train fit
+        train_pred = _knn_predict_direct(Xp, yp, Xp, k, weights)
+        return pred, np.abs(train_pred - yp).mean(-1)
+    rng = np.random.default_rng(FR.cv_seed(seed, n))
+    folds = regressors.kfold_indices(n, 3, rng)
+    fold_scores = np.zeros((len(folds), p))
+    for fi, fold in enumerate(folds):
+        mask = np.ones(n, dtype=bool)
+        mask[fold] = False
+        pr = _knn_predict_direct(Xp[:, mask], yp[:, mask], Xp[:, fold],
+                                 k, weights)
+        fold_scores[fi] = -np.abs(pr - yp[:, fold]).mean(-1)
+    return pred, np.abs(fold_scores.mean(0))
+
+
+# slow-path batching switch: False restores the per-pixel
+# regressors.fit_predict loop (the parity reference the tests compare
+# against)
+SLOW_BATCH = True
+
+
 def _knn_fill_group(Xp, yp, xt, k: int, weights: str, seed: int):
     """One pattern group: Xp (p, n, c) train predictors, yp (p, n)
     targets, xt (p, c) test row. Returns (pred (p,), score (p,)) —
@@ -112,8 +170,13 @@ def _knn_coords_exact(cands: np.ndarray, blk: np.ndarray, k: int,
             m *= 2
             continue
         local = cands[idx]
-        d2 = ((blk[:, None, :] - local[None, :, :]) ** 2).sum(-1)
-        key = d2.astype(np.int64) * n_c + idx[None, :].astype(np.int64)
+        # two-plane int64 distance: same exact integer values as the
+        # stacked ((blk - local)**2).sum(-1), without the (p, n, 2)
+        # temporaries and the reduction pass
+        dr = blk[:, 0, None] - local[None, :, 0]
+        dc = blk[:, 1, None] - local[None, :, 1]
+        d2 = dr * dr + dc * dc
+        key = d2 * n_c + idx[None, :]
         kk = min(k, len(idx))
         if len(idx) > kk:
             part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
@@ -151,22 +214,19 @@ def _biome_coords_batched(final, extra, gaps, seed, coord_offset=(0, 0),
     out = np.empty((P, FR.N_NEAREST + 1, 2), dtype=np.int64)
     codes = extra[gaps[:, 0], gaps[:, 1]]
     dr, dc = int(coord_offset[0]), int(coord_offset[1])
-    # per-code candidate sets from ONE stable argsort of the masked
-    # raster instead of a full-raster scan per code; a stable sort
-    # groups equal codes in ascending flat (row-major) index order —
-    # exactly np.argwhere's order, so tie-breaks are unchanged
+    # per-code candidate sets via one flatnonzero scan per code:
+    # ascending flat (row-major) index order — exactly np.argwhere's
+    # order, so tie-breaks are unchanged (measured faster than the
+    # former global stable argsort + per-segment re-sort: the chunk
+    # only ever touches ~a dozen codes)
     w = final.shape[1]
     flat = masked.ravel()
-    order = np.argsort(flat, kind="stable")
-    sorted_codes = flat[order]
     # the small-biome fallback's valid set is pixel-independent —
     # hoisted out of the per-pixel loop (select_random docstring)
     valid = None
     for code in np.unique(codes):
         sel = np.flatnonzero(codes == code)
-        lo_i = np.searchsorted(sorted_codes, code, "left")
-        hi_i = np.searchsorted(sorted_codes, code, "right")
-        cidx = np.sort(order[lo_i:hi_i])
+        cidx = np.flatnonzero(flat == code)
         cands = np.column_stack([cidx // w, cidx % w])
         if len(cands) > FR.BIOME_MIN:
             pts = gaps[sel]  # (s, 2)
@@ -349,11 +409,23 @@ def fill_gathered_knn(hist: np.ndarray, last: np.ndarray, k: int,
             preds[grp] = pr
             scores[grp] = sc
 
+    # slow path: the per-pixel clean_frame cascade (the reference's F7
+    # test-row-shift quirk) stays sequential — it is cheap; the
+    # EXPENSIVE part, the per-pixel kNN fit + 3-fold CV after it, is
+    # batched by grouping the cleaned frames on their exact (n, c)
+    # shape (same n → same cv_seed → same folds, the per-pixel rule)
+    # and running the direct-form group kernel — bit-identical to
+    # regressors.fit_predict by construction (measured ~20% of the
+    # whole fill kernel on high-gap images before batching)
+    slow_items: list = []
     for s in np.flatnonzero(slow):
         res = FR.clean_frame(np.vstack([hist[:, s, :], last[s][None, :]]),
                              sv)
         if isinstance(res, str):
             skip_px[s] = True
+            continue
+        if SLOW_BATCH:
+            slow_items.append((s, res))
             continue
         X_train, y_train, X_test = res
         pr, sc = regressors.fit_predict(
@@ -362,5 +434,18 @@ def fill_gathered_knn(hist: np.ndarray, last: np.ndarray, k: int,
         )
         preds[s] = float(np.ravel(pr)[0])
         scores[s] = abs(float(np.ravel(sc).mean() if np.ndim(sc) else sc))
+
+    if slow_items:
+        groups: dict = {}
+        for s, (Xtr, ytr, Xte) in slow_items:
+            groups.setdefault(Xtr.shape, []).append((s, Xtr, ytr, Xte))
+        for (n, c), items in groups.items():
+            sel = np.array([it[0] for it in items], dtype=np.int64)
+            Xp = np.stack([it[1] for it in items])        # (p, n, c)
+            yp = np.stack([it[2] for it in items])        # (p, n)
+            xt = np.stack([it[3][0] for it in items])     # (p, c)
+            pr, sc = _knn_slow_group(Xp, yp, xt, k, weights, seed)
+            preds[sel] = pr
+            scores[sel] = sc
 
     return preds, scores, skip_px

@@ -98,7 +98,10 @@ def _k_nearest(coords: np.ndarray, coord: tuple[int, int], k: int) -> np.ndarray
     """k smallest Euclidean pixel distances with np.argmin first-index
     tie-break parity (gapfiller.py:519-530): sort by (distance, index)."""
     d = np.sqrt(((coords - np.array(coord)) ** 2).sum(axis=1).astype(np.float64))
-    order = np.lexsort((np.arange(len(d)), d))[:k]
+    # stable argsort == lexsort((arange(n), d)): equal distances keep
+    # ascending original-index order — same np.argmin first-index
+    # parity, ~2x faster than the two-key lexsort
+    order = np.argsort(d, kind="stable")[:k]
     return coords[order]
 
 

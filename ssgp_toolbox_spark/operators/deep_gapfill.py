@@ -214,7 +214,12 @@ def gapfill_deep(images: DataFrame, method: str = "Knn",
     packed_layers = extracted.groupBy("image_id", "chunk_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "vals"))).alias("layers"))
 
-    n_parts = max(spark.sparkContext.defaultParallelism * 8, 8)
+    # size the fill stage from the ACTUAL chunk count: coords is
+    # persisted (consumed twice anyway), so counting it materializes
+    # work that was already due and makes ~3 chunks/task the target —
+    # same adaptive rule (and measured rationale) as gapfill_balanced
+    cores = spark.sparkContext.defaultParallelism
+    n_parts = int(min(max(cores, -(-coords.count() // 3)), cores * 8))
     fill_in = coords.drop("site").join(
         packed_layers, ["image_id", "chunk_id"]).repartition(n_parts)
     partials = fill_in.mapInPandas(

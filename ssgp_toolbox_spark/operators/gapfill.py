@@ -374,7 +374,7 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
             if predictor_configuration == "Biome" else None)
         f_inputs = pool.submit(
             lambda: viable.select("image_id", "bytes", "h", "w",
-                                  "fmt").collect())
+                                  "fmt", "gap_count").collect())
         hist_rows = f_hist.result()
         extra_rows = {}
         if f_extra is not None:
@@ -411,8 +411,18 @@ def gapfill_balanced(images: DataFrame, predictor_configuration: str = "Biome",
     n_chunks = F.ceil(F.col("gap_count") / chunk_px).cast("int")
     # explicit partition count: the chunk shuffle is tiny in BYTES but
     # heavy in CPU per row — AQE's size-based coalescing would collapse
-    # it to a handful of tasks; a user-specified count is exempt
-    n_parts = max(sc.defaultParallelism * 8, 8)
+    # it to a handful of tasks; a user-specified count is exempt.
+    # Sized from the ACTUAL chunk count (driver-known for free from
+    # the collected input rows): ~3 chunks/task amortizes per-task
+    # dispatch + Arrow setup while round-robin still balances counts;
+    # finer splitting measured SLOWER at the bench scale (64 parts
+    # 1.7 s vs 256 parts 2.0-3.7 s for the same 198 chunks), and the
+    # [cores, cores*8] clamp keeps full width at small counts and the
+    # former behavior at large ones.
+    total_chunks = sum(-(-int(r["gap_count"]) // chunk_px)
+                       for r in input_rows)
+    n_parts = int(min(max(sc.defaultParallelism, -(-total_chunks // 3)),
+                      sc.defaultParallelism * 8))
     chunks = viable.withColumn(
         "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
     ).repartition(n_parts)  # round-robin: exact chunk-count balance
