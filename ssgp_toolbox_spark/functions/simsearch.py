@@ -780,6 +780,11 @@ def ivf_pq_build(embeddings: DataFrame, n_cells: int = 16,
         .orderBy("nid").limit(train_cap).collect()
     seed_cents = ([list(r["emb"]) for r in sample_rows[:n_cells]]
                   if train_cap >= n_cells else None)
+    # NOTE(perf, attempted & rejected): when the sample comes back
+    # short (whole corpus < train_cap) a lazy localCheckpoint of `e`
+    # would be bounded and could spare the later Lloyd rounds the
+    # normalize recompute — measured NEUTRAL at bench scale (the
+    # checkpoint write offsets the recompute), so not taken.
     X = np.array([list(r["emb"]) for r in sample_rows], dtype=np.float64)
     # NOTE(perf, attempted & rejected): when the sample covers the
     # whole train set the Lloyd rounds could run driver-side on X

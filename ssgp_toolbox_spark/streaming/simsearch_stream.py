@@ -78,10 +78,20 @@ def search_batch(queries: DataFrame, index: DataFrame, vectors: DataFrame,
     if prune_cells:
         # dedup driver-side: the probe rows are bounded by
         # batch_rows × n_probe, so a distinct() exchange before the
-        # collect is a wasted shuffle stage per micro-batch
-        cells = sorted({int(r["cid"]) for r in
-                        probes.select("cid").collect()})
+        # collect is a wasted shuffle stage per micro-batch. The
+        # collected rows (qid, qe, cid — f64 round-trips the driver
+        # losslessly) are handed back as a single-partition local
+        # frame, so the search job cogroups against them directly
+        # instead of re-running the batch's normalize + probe UDF
+        # chain a second time inside the big job.
+        rows = [(int(r["qid"]), list(r["qe"]), int(r["cid"]))
+                for r in probes.select("qid", "qe", "cid").collect()]
+        cells = sorted({cid for _, _, cid in rows})
         index = index.filter(F.col("cid").isin(cells))
+        spark = queries.sparkSession
+        probes = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "qid long, qe array<double>, cid int")
     return simsearch.ivf_pq_search(index, vectors, queries, model, k=k,
                                    n_probe=n_probe, rerank=rerank,
                                    probes=probes, qnorm=q,
