@@ -82,7 +82,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
     n-gram profile decides it. Public-knowledge heuristics
     (closed-class word lists, Unicode blocks, Cavnar-&-Trenkle-style
     character n-grams), all pure Catalyst and exactly reproducible in
-    SQL — the oracle builds from the same constants."""
+    SQL — the oracle builds from the same constants.
+
+    BREAKING CHANGE (round 5): the output column ``marker_hits`` was
+    renamed to ``score`` and its VALUES changed meaning — formerly raw
+    marker hits, now marker hits x MARKER_WEIGHT + trigram counts.
+    External consumers of the old column/semantics must adapt; the
+    t02 oracle was updated in lockstep."""
     toks = _tokens()
 
     def marker_score(markers):

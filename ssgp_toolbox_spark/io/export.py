@@ -231,7 +231,16 @@ def _attempt_tmp(path: str) -> str:
     # concurrent speculative/retried attempts for the same image_id
     # share the staging file — the first finisher can os.replace a
     # file the second attempt is mid-rewriting, and the loser's
-    # os.replace then raises FileNotFoundError
+    # os.replace then raises FileNotFoundError.
+    #
+    # CONSUMER CONTRACT: an attempt that dies between open() and
+    # os.replace() leaves its '<path>.<pid>.<uuid>.tmp' file behind —
+    # readers and manifest consumers MUST ignore '*.tmp' files in
+    # out_dir (only the manifest rows name committed outputs). A
+    # successful writer does NOT unlink stale-looking tmp siblings:
+    # distinguishing a dead attempt's litter from a live concurrent
+    # attempt's staging file is inherently racy, and unlinking a live
+    # one would fail that attempt's atomic rename.
     import os
     import uuid
 

@@ -55,6 +55,56 @@ def test_batched_distance_weights(scene):
     assert np.allclose(slow_m, fast_m, equal_nan=True)
 
 
+@pytest.mark.parametrize("weights", ["uniform", "distance"])
+def test_slow_path_batched_bit_equals_loop(weights):
+    """The batched slow path (optimization round 6) must be
+    bit-identical to the per-pixel regressors.fit_predict loop it
+    replaced — exercised on a cascade-rich scene: predictor columns
+    NODATA at the test row force the F7 test-row-shift quirk, so the
+    slow share is large and includes both the zero-feature and the
+    column-readmitted clean_frame outcomes."""
+    from ssgp_toolbox_spark.sentinels import DEFAULT_SENTINELS as SV
+
+    rng = np.random.default_rng(5)
+    L, H, W = 7, 30, 26
+    tensor = rng.uniform(270, 300, size=(L, H, W)).round(2)
+    # sprinkle sentinels through history so target-validity patterns
+    # vary (different n per pixel → several slow groups, including
+    # n < 3 exercising the no-CV fallback)
+    for ly in range(L):
+        m = rng.random((H, W))
+        tensor[ly][m < 0.12] = SV.gap
+        tensor[ly][(m >= 0.12) & (m < 0.16)] = SV.nodata
+    final = rng.uniform(270, 300, size=(H, W)).round(2)
+    # left third: valid with sparse gaps (fast-path pixels + the
+    # >=101-valid pool select_random's fallback needs)
+    gl = rng.random((H, 9))
+    final[:, :9][gl < 0.15] = SV.gap
+    # right two-thirds: gaps inside a SOLID NODATA region — every
+    # nearest same-biome candidate is final-NODATA, so all predictor
+    # columns drop, F7 drops the all-NaN test row, and F8 re-admits
+    # columns at the shifted row (verified: ~30 distinct slow groups,
+    # c 27-39 readmitted columns, train n 2-6)
+    gr = rng.random((H, W - 9))
+    final[:, 9:] = np.where(gr < 0.35, SV.gap, SV.nodata)
+    extra = generator.zone_raster("slowb", H, W).astype(float)
+
+    B.SLOW_BATCH = False
+    try:
+        ref_m, ref_s = B.fill_image_knn(
+            final, tensor, extra=extra, predictor_configuration="Biome",
+            hyperparameters="Custom",
+            params={"n_neighbors": 5, "weights": weights}, seed=99)
+    finally:
+        B.SLOW_BATCH = True
+    new_m, new_s = B.fill_image_knn(
+        final, tensor, extra=extra, predictor_configuration="Biome",
+        hyperparameters="Custom",
+        params={"n_neighbors": 5, "weights": weights}, seed=99)
+    assert np.array_equal(ref_m, new_m, equal_nan=True)
+    assert np.array_equal(np.asarray(ref_s), np.asarray(new_s))
+
+
 def test_gap_slice_union_equals_whole(scene):
     """Chunked fills (the balanced operator's unit) reassemble to the
     exact whole-image fill — per-pixel seeding guarantees it."""
