@@ -342,7 +342,11 @@ def cluster_pairs(pairs: DataFrame, vertices: DataFrame | None = None,
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev_digest = digest(labels)
+    # no digest of the INITIAL labels: the first round never compares
+    # equal to None, so the pre-loop digest action was pure overhead
+    # in every normal run (an already-converged input merely pays one
+    # extra cheap round before the round-2 digests match)
+    prev_digest = None
     rounds = 0
     while True:
         neigh = (edges.join(labels.withColumnRenamed("id", "dst")
@@ -449,16 +453,21 @@ def cluster_pairs_star(pairs: DataFrame, vertices: DataFrame | None = None,
         return (row["n"], row["h"])
 
     rounds = 0
-    prev_digest = digest(E)
+    # no digest of the INITIAL edge set (see cluster_pairs): round 1
+    # never compares equal to None, so the pre-loop digest action was
+    # pure overhead in every normal run
+    prev_digest = None
     while True:
         new = small_star(large_star(E)).localCheckpoint(eager=False)
         new_digest = digest(new)
         if new_digest == prev_digest:
             # digests agree → almost surely the fixpoint; confirm the
             # one time it matters with the exact set comparison (a
-            # 64-bit sum collision would otherwise terminate early)
-            changed = (new.exceptAll(E).limit(1).count()
-                       or E.exceptAll(new).limit(1).count())
+            # 64-bit sum collision would otherwise terminate early).
+            # ONE action for both directions: the former sequential
+            # pair always ran BOTH sides at the true fixpoint
+            changed = (new.exceptAll(E).union(E.exceptAll(new))
+                       .limit(1).count())
             if not changed:
                 E = new
                 break

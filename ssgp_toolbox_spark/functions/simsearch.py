@@ -899,6 +899,12 @@ def ivf_pq_search(index: DataFrame, vectors: DataFrame,
         .applyInPandas(adc_fn,
                        "qid long, nid long, adc double, qe array<double>")
 
+    # NOTE(perf, attempted & rejected): an explicit F.broadcast(cands)
+    # hint on the rescore (cands is bounded by queries × n_probe ×
+    # rerank rows) measured slightly SLOWER in interleaved A/B at
+    # sf0.1 — AQE already broadcasts the small side after seeing its
+    # size, and the hint forces an eager materialize+broadcast of the
+    # cogroup output; not taken.
     rescored = (cands
                 .join(e.select(F.col("nid"), F.col("emb").alias("ne")), "nid")
                 .select("qid", "nid",
